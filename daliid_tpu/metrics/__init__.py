@@ -1,0 +1,13 @@
+from daliid_tpu.metrics.ranking import (
+    evaluate_rank,
+    evaluate_rank_jax,
+    evaluate_rank_numpy,
+    cosine_distance_matrix,
+)
+
+__all__ = [
+    "evaluate_rank",
+    "evaluate_rank_jax",
+    "evaluate_rank_numpy",
+    "cosine_distance_matrix",
+]

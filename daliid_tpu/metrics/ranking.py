@@ -1,0 +1,186 @@
+"""Market-1501-protocol CMC / mAP ranking — on-device (XLA) and host reference.
+
+The reference delegates ranking to torchreid's Cython kernel
+(``evaluate_cy``, imported at ``Person-ReID/validateModels.py:16-24`` and
+invoked via ``torchreid.metrics.evaluate_rank`` at
+``Person-ReID/validateModels.py:68``). That kernel is a per-query host scan:
+sort the gallery by distance, drop entries sharing the query's (pid, camid)
+("junk" entries under the Market protocol), then accumulate the cumulative
+match characteristic and average precision.
+
+Here the whole protocol is a single vectorized XLA program over the
+``(num_queries, num_gallery)`` distance matrix — argsort + gather + masked
+cumulative sums — jit-compiled and chunked over queries so HBM usage stays
+bounded. A numpy reference (:func:`evaluate_rank_numpy`) and a C++ reference
+(:mod:`daliid_tpu.metrics.cpp_ref`) implement the identical protocol for
+parity testing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def cosine_distance_matrix(query_fvs: jnp.ndarray, gallery_fvs: jnp.ndarray) -> jnp.ndarray:
+    """``1 - Q @ G.T`` over L2-normalized embeddings.
+
+    Mirrors ``Person-ReID/validateModels.py:41-47`` (normalize then
+    ``1 - mm``). One big MXU matmul; inputs are normalized here so callers
+    can pass raw embeddings.
+    """
+    q = query_fvs / (jnp.linalg.norm(query_fvs, axis=1, keepdims=True) + 1e-12)
+    g = gallery_fvs / (jnp.linalg.norm(gallery_fvs, axis=1, keepdims=True) + 1e-12)
+    return 1.0 - q @ g.T
+
+
+def _rank_chunk(
+    dist_chunk: jnp.ndarray,   # (B, G) float
+    q_pids: jnp.ndarray,       # (B,) int32
+    q_camids: jnp.ndarray,     # (B,) int32
+    g_pids: jnp.ndarray,       # (G,) int32
+    g_camids: jnp.ndarray,     # (G,) int32
+    max_rank: int,
+):
+    """Per-chunk CMC/AP: returns (cmc_rows (B, max_rank), ap (B,), valid (B,))."""
+    num_g = dist_chunk.shape[1]
+    order = jnp.argsort(dist_chunk, axis=1)
+    g_pid_sorted = jnp.take(g_pids, order)
+    g_cam_sorted = jnp.take(g_camids, order)
+
+    same_pid = g_pid_sorted == q_pids[:, None]
+    junk = same_pid & (g_cam_sorted == q_camids[:, None])
+    keep = ~junk
+    match = same_pid & keep
+
+    # Rank of each sorted gallery entry counting only kept entries (0-based).
+    kept_rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    hits = jnp.cumsum(match.astype(jnp.int32), axis=1)
+
+    num_rel = hits[:, -1]
+    valid = num_rel > 0
+
+    # AP = mean over relevant positions of precision@that kept-rank.
+    precision = hits.astype(jnp.float32) / (kept_rank.astype(jnp.float32) + 1.0)
+    ap = jnp.where(match, precision, 0.0).sum(axis=1) / jnp.maximum(num_rel, 1).astype(jnp.float32)
+
+    # CMC: does the first match land before kept-rank k?
+    first_match_rank = jnp.min(jnp.where(match, kept_rank, num_g), axis=1)
+    cmc_rows = (first_match_rank[:, None] <= jnp.arange(max_rank)[None, :]).astype(jnp.float32)
+    return cmc_rows, ap, valid
+
+
+@functools.partial(jax.jit, static_argnames=("max_rank", "query_chunk"))
+def evaluate_rank_jax(
+    distmat: jnp.ndarray,
+    q_pids: jnp.ndarray,
+    g_pids: jnp.ndarray,
+    q_camids: jnp.ndarray,
+    g_camids: jnp.ndarray,
+    max_rank: int = 50,
+    query_chunk: int = 512,
+):
+    """Market-protocol CMC curve + mAP, fully on device.
+
+    Argument order mirrors ``torchreid.metrics.evaluate_rank(distmat, q_pids,
+    g_pids, q_camids, g_camids)`` as called at
+    ``Person-ReID/validateModels.py:68``. Queries whose every same-pid gallery
+    entry shares their camera are excluded from both averages (standard
+    protocol).
+
+    Chunked over queries with ``lax.map`` so peak HBM is
+    O(query_chunk * num_gallery) regardless of query-set size.
+    """
+    num_q = distmat.shape[0]
+    q_pids = q_pids.astype(jnp.int32)
+    q_camids = q_camids.astype(jnp.int32)
+    g_pids = g_pids.astype(jnp.int32)
+    g_camids = g_camids.astype(jnp.int32)
+
+    pad = (-num_q) % query_chunk
+    distmat_p = jnp.pad(distmat, ((0, pad), (0, 0)))
+    # Padded queries get pid -1 → zero matches → valid=False → excluded.
+    q_pids_p = jnp.pad(q_pids, (0, pad), constant_values=-1)
+    q_camids_p = jnp.pad(q_camids, (0, pad), constant_values=-1)
+
+    n_chunks = distmat_p.shape[0] // query_chunk
+    dist_chunks = distmat_p.reshape(n_chunks, query_chunk, -1)
+    qp_chunks = q_pids_p.reshape(n_chunks, query_chunk)
+    qc_chunks = q_camids_p.reshape(n_chunks, query_chunk)
+
+    def body(args):
+        d, qp, qc = args
+        return _rank_chunk(d, qp, qc, g_pids, g_camids, max_rank)
+
+    cmc_rows, ap, valid = jax.lax.map(body, (dist_chunks, qp_chunks, qc_chunks))
+    cmc_rows = cmc_rows.reshape(-1, max_rank)
+    ap = ap.reshape(-1)
+    valid = valid.reshape(-1)
+
+    num_valid = jnp.maximum(valid.sum(), 1).astype(jnp.float32)
+    cmc = (cmc_rows * valid[:, None]).sum(axis=0) / num_valid
+    mAP = (ap * valid).sum() / num_valid
+    return cmc, mAP
+
+
+def evaluate_rank_numpy(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=50):
+    """Pure-numpy per-query reference of the identical protocol (host scan).
+
+    Used as the parity oracle for :func:`evaluate_rank_jax` and the C++
+    kernel; mirrors the semantics of torchreid's ``evaluate_cy`` as invoked
+    at ``Person-ReID/validateModels.py:68``.
+    """
+    distmat = np.asarray(distmat)
+    q_pids = np.asarray(q_pids, dtype=np.int64)
+    g_pids = np.asarray(g_pids, dtype=np.int64)
+    q_camids = np.asarray(q_camids, dtype=np.int64)
+    g_camids = np.asarray(g_camids, dtype=np.int64)
+
+    num_q, num_g = distmat.shape
+    order_all = np.argsort(distmat, axis=1, kind="stable")
+
+    cmc_sum = np.zeros(max_rank, dtype=np.float64)
+    ap_list = []
+    for qi in range(num_q):
+        order = order_all[qi]
+        gp = g_pids[order]
+        gc = g_camids[order]
+        junk = (gp == q_pids[qi]) & (gc == q_camids[qi])
+        raw = (gp == q_pids[qi])[~junk].astype(np.float64)
+        num_rel = raw.sum()
+        if num_rel == 0:
+            continue
+        csum = raw.cumsum()
+        hit = np.minimum(csum, 1.0)
+        cmc_sum += hit[:max_rank] if hit.shape[0] >= max_rank else np.pad(
+            hit, (0, max_rank - hit.shape[0]), constant_values=hit[-1]
+        )
+        precision = csum / np.arange(1, raw.shape[0] + 1)
+        ap_list.append(float((precision * raw).sum() / num_rel))
+
+    num_valid = max(len(ap_list), 1)
+    return cmc_sum / num_valid, float(np.mean(ap_list)) if ap_list else 0.0
+
+
+def evaluate_rank(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=50, backend="jax"):
+    """Dispatch wrapper mirroring torchreid's public ``evaluate_rank``."""
+    if backend == "jax":
+        cmc, mAP = evaluate_rank_jax(
+            jnp.asarray(distmat),
+            jnp.asarray(np.asarray(q_pids, dtype=np.int32)),
+            jnp.asarray(np.asarray(g_pids, dtype=np.int32)),
+            jnp.asarray(np.asarray(q_camids, dtype=np.int32)),
+            jnp.asarray(np.asarray(g_camids, dtype=np.int32)),
+            max_rank=max_rank,
+        )
+        return np.asarray(cmc), float(mAP)
+    if backend == "numpy":
+        return evaluate_rank_numpy(distmat, q_pids, g_pids, q_camids, g_camids, max_rank)
+    if backend == "cpp":
+        from daliid_tpu.metrics.cpp_ref import evaluate_rank_cpp
+
+        return evaluate_rank_cpp(distmat, q_pids, g_pids, q_camids, g_camids, max_rank)
+    raise ValueError(f"unknown backend: {backend!r}")

@@ -1,0 +1,201 @@
+"""Loss library: vectorized JAX losses vs independent per-sample numpy loops."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from daliid_tpu import losses as L
+
+
+def _normalize(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.fixture
+def batch(rng):
+    B, D, C = 24, 16, 6
+    fvs = _normalize(rng.normal(size=(B, D))).astype(np.float32)
+    # PK-style labels: every class appears B//C >= 2 times (the reference's
+    # losses assume K >= 2 samples per identity in the batch).
+    labels = np.repeat(np.arange(C), B // C).astype(np.int32)
+    rng.shuffle(labels)
+    distortion = rng.integers(0, 6, B).astype(np.int32)
+    centers = _normalize(rng.normal(size=(C, D))).astype(np.float32)
+    return fvs, labels, distortion, centers
+
+
+def test_cosine_schedule_endpoints():
+    # t_cur=0 → n_min; t_cur=t_max → n_max; midpoint = average.
+    assert float(L.cosine_schedule_value(0, 100, 0.2, 1.0)) == pytest.approx(0.2, abs=1e-6)
+    assert float(L.cosine_schedule_value(100, 100, 0.2, 1.0)) == pytest.approx(1.0, abs=1e-6)
+    assert float(L.cosine_schedule_value(50, 100, 0.2, 1.0)) == pytest.approx(0.6, abs=1e-6)
+
+
+def test_distortion_weight_tables():
+    w6 = np.asarray(L.distortion_weights(0, 100, L.N_MIN_6))
+    np.testing.assert_allclose(w6, [1.0, 0.8, 0.6, 0.4, 0.2, 0.1], atol=1e-6)
+    w13 = np.asarray(L.distortion_weights(100, 100, L.N_MIN_13))
+    np.testing.assert_allclose(w13, np.ones(13), atol=1e-6)
+
+
+def test_weighted_center_loss_vs_loop(batch):
+    fvs, labels, distortion, centers = batch
+    epoch, n_epochs, tau = 30, 100, 0.1
+    loss, aux = L.weighted_center_loss(
+        jnp.asarray(fvs), jnp.asarray(labels), jnp.asarray(distortion),
+        jnp.asarray(centers), epoch, n_epochs, tau=tau,
+    )
+    # independent loop
+    table = np.asarray(L.distortion_weights(epoch, n_epochs, L.N_MIN_6))
+    total, wsum = 0.0, 0.0
+    for i in range(fvs.shape[0]):
+        w = table[distortion[i]]
+        logits = fvs[i] @ centers.T / tau
+        logp = logits - np.log(np.exp(logits - logits.max()).sum()) - logits.max()
+        total += w * (-logp[labels[i]])
+        wsum += w
+    assert float(loss) == pytest.approx(total / wsum, rel=1e-5)
+    assert 0.0 <= float(aux["batch_acc_bal"]) <= 1.0
+    assert 0.0 <= float(aux["avg_max_prob"]) <= 1.0
+
+
+def test_weighted_center_loss_masking(batch):
+    fvs, labels, distortion, centers = batch
+    # Padding samples must not change the loss.
+    mask = np.ones(fvs.shape[0], dtype=bool)
+    loss_full, _ = L.weighted_center_loss(
+        jnp.asarray(fvs), jnp.asarray(labels), jnp.asarray(distortion),
+        jnp.asarray(centers), 10, 100,
+    )
+    fvs_pad = np.concatenate([fvs, fvs[:4] * 0 + 0.5], axis=0)
+    labels_pad = np.concatenate([labels, labels[:4]])
+    dist_pad = np.concatenate([distortion, distortion[:4]])
+    mask_pad = np.concatenate([mask, np.zeros(4, dtype=bool)])
+    loss_masked, _ = L.weighted_center_loss(
+        jnp.asarray(fvs_pad), jnp.asarray(labels_pad), jnp.asarray(dist_pad),
+        jnp.asarray(centers), 10, 100, sample_mask=jnp.asarray(mask_pad),
+    )
+    assert float(loss_full) == pytest.approx(float(loss_masked), rel=1e-5)
+
+
+def _proxy_loop_reference(fvs, labels, distortion, proxies, proxy_labels, epoch, n_epochs, tau):
+    """Independent loop implementing the hard-negative proxy softmax."""
+    table = np.asarray(L.distortion_weights(epoch, n_epochs, L.N_MIN_6))
+    total, wsum = 0.0, 0.0
+    valid = proxy_labels >= 0
+    for i in range(fvs.shape[0]):
+        w = table[distortion[i]]
+        sims = fvs[i] @ proxies.T
+        pos = sims[valid & (proxy_labels == labels[i])]
+        neg = sims[valid & (proxy_labels != labels[i])]
+        if len(pos) == 0:
+            continue
+        k = len(pos)
+        neg_top = np.sort(neg)[::-1][:k]
+        pos_e = np.exp(pos / tau)
+        neg_e = np.exp(neg_top / tau)
+        denom = pos_e.sum() + neg_e.sum()
+        total += -w * np.mean(np.log(pos_e / denom))
+        wsum += w
+    return total / wsum
+
+
+def test_weighted_proxy_loss_vs_loop(rng):
+    B, D, C, P = 20, 16, 5, 4
+    fvs = _normalize(rng.normal(size=(B, D))).astype(np.float32)
+    labels = rng.integers(0, C, B).astype(np.int32)
+    distortion = rng.integers(0, 6, B).astype(np.int32)
+    # ragged proxies: class c gets min(P, c+2) proxies, padded with label -1
+    proxies, proxy_labels = [], []
+    for c in range(C):
+        k = min(P, c + 2)
+        proxies.append(_normalize(rng.normal(size=(k, D))))
+        proxy_labels += [c] * k
+    proxies = np.concatenate(proxies).astype(np.float32)
+    proxy_labels = np.array(proxy_labels, dtype=np.int32)
+    # pad to fixed size
+    pad = 3
+    proxies_p = np.concatenate([proxies, np.zeros((pad, D), np.float32)])
+    proxy_labels_p = np.concatenate([proxy_labels, -np.ones(pad, np.int32)])
+
+    loss = L.weighted_proxy_loss(
+        jnp.asarray(fvs), jnp.asarray(labels), jnp.asarray(distortion),
+        jnp.asarray(proxies_p), jnp.asarray(proxy_labels_p), 25, 100, tau=0.1,
+    )
+    expected = _proxy_loop_reference(fvs, labels, distortion, proxies, proxy_labels, 25, 100, 0.1)
+    assert float(loss) == pytest.approx(expected, rel=1e-4)
+
+
+def test_paired_distortion_loss_closed_form(rng):
+    clean = _normalize(rng.normal(size=(6, 8))).astype(np.float32)
+    dist = _normalize(rng.normal(size=(6, 8))).astype(np.float32)
+    levels = np.array([1, 2, 3, 4, 5, 1], dtype=np.int32)
+    loss = L.paired_distortion_loss(jnp.asarray(clean), jnp.asarray(dist), jnp.asarray(levels), 0, 100)
+    table = np.asarray(L.distortion_weights(0, 100, L.N_MIN_13))
+    w = table[levels]
+    d2 = ((clean - dist) ** 2).sum(1)
+    assert float(loss) == pytest.approx((w * d2).sum() / w.sum(), rel=1e-5)
+
+
+def test_softmax_triplet_vs_loop(batch):
+    fvs, labels, _, _ = batch
+    tau = 0.1
+    loss = L.softmax_triplet_loss(jnp.asarray(fvs), jnp.asarray(labels), tau=tau)
+    S = fvs @ fvs.T
+    total = 0.0
+    for i in range(len(fvs)):
+        p = S[i][labels == labels[i]].min()
+        q = S[i][labels != labels[i]].max()
+        pe, qe = np.exp(p / tau), np.exp(q / tau)
+        total += -np.log(pe / (pe + qe))
+    assert float(loss) == pytest.approx(total / len(fvs), rel=1e-4)
+
+
+def test_weighted_softmax_all_triplet_loss_runs(batch):
+    fvs, labels, distortion, _ = batch
+    loss = L.weighted_softmax_all_triplet_loss(
+        jnp.asarray(fvs), jnp.asarray(labels), jnp.asarray(distortion), 10, 100
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_all_positive_cosine_vs_loop(batch):
+    fvs, labels, distortion, _ = batch
+    loss = L.weighted_all_positive_cosine_loss(
+        jnp.asarray(fvs), jnp.asarray(labels), jnp.asarray(distortion), 40, 100
+    )
+    table = np.asarray(L.distortion_weights(40, 100, L.N_MIN_6))
+    S = fvs @ fvs.T
+    total, wsum = 0.0, 0.0
+    for i in range(len(fvs)):
+        w = table[distortion[i]]
+        pos = S[i][labels == labels[i]]
+        total += w * (1.0 - pos).sum() / (len(pos) - 1)
+        wsum += w
+    assert float(loss) == pytest.approx(total / wsum, rel=1e-4)
+
+
+def test_instance_loss(rng):
+    a = _normalize(rng.normal(size=(4, 8))).astype(np.float32)
+    interleaved = np.repeat(a, 2, axis=0)  # identical pairs → loss 0
+    assert float(L.instance_loss(jnp.asarray(interleaved))) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_balanced_accuracy_host():
+    # perfect prediction → 1.0
+    assert L.balanced_accuracy_host([0, 1, 2], [0, 1, 2]) == pytest.approx(1.0)
+    # one class全wrong: classes {0,1}, predictions [1,1] → class0 0%, class1 100% → 0.5
+    assert L.balanced_accuracy_host([1, 1], [0, 1]) == pytest.approx(0.5, abs=1e-5)
+
+
+def test_center_and_l2_center_losses(batch):
+    fvs, labels, _, centers = batch
+    c = L.center_loss(jnp.asarray(fvs), jnp.asarray(labels), jnp.asarray(centers))
+    l2 = L.l2_center_loss(jnp.asarray(fvs), jnp.asarray(labels), jnp.asarray(centers))
+    assert np.isfinite(float(c)) and float(l2) >= 0.0
+
+
+def test_median_triplet_loss_runs(batch):
+    fvs, labels, _, _ = batch
+    loss = L.median_softmax_triplet_loss(jnp.asarray(fvs), jnp.asarray(labels))
+    assert np.isfinite(float(loss))

@@ -1,0 +1,118 @@
+"""CMC/mAP ranking kernel: jax-vs-numpy-vs-C++ parity + hand-checked cases."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from daliid_tpu.metrics import (
+    cosine_distance_matrix,
+    evaluate_rank,
+    evaluate_rank_jax,
+    evaluate_rank_numpy,
+)
+from daliid_tpu.metrics.cpp_ref import evaluate_rank_cpp
+
+
+def _random_problem(rng, num_q=37, num_g=211, num_ids=12, num_cams=4):
+    distmat = rng.random((num_q, num_g)).astype(np.float32)
+    q_pids = rng.integers(0, num_ids, num_q)
+    g_pids = rng.integers(0, num_ids, num_g)
+    q_camids = rng.integers(0, num_cams, num_q)
+    g_camids = rng.integers(0, num_cams, num_g)
+    return distmat, q_pids, g_pids, q_camids, g_camids
+
+
+def test_hand_computed_single_query():
+    # 1 query (pid 0, cam 0); gallery: [junk(same pid+cam), match, distractor, match]
+    distmat = np.array([[0.1, 0.2, 0.3, 0.4]], dtype=np.float32)
+    q_pids, q_camids = np.array([0]), np.array([0])
+    g_pids = np.array([0, 0, 1, 0])
+    g_camids = np.array([0, 1, 0, 1])
+    # After junk removal, kept order = [match, distractor, match]
+    # CMC = [1,1,1,...]; AP = (1/1 + 2/3) / 2 = 5/6
+    cmc, mAP = evaluate_rank_numpy(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=3)
+    assert np.allclose(cmc, [1.0, 1.0, 1.0])
+    assert mAP == pytest.approx(5.0 / 6.0)
+
+    cmc_j, mAP_j = evaluate_rank_jax(
+        jnp.asarray(distmat), jnp.asarray(q_pids), jnp.asarray(g_pids),
+        jnp.asarray(q_camids), jnp.asarray(g_camids), max_rank=3,
+    )
+    assert np.allclose(np.asarray(cmc_j), cmc)
+    assert float(mAP_j) == pytest.approx(mAP, abs=1e-6)
+
+
+def test_hand_computed_rank2_first_match():
+    # Closest kept entry is a distractor; match arrives at rank 2.
+    distmat = np.array([[0.1, 0.2]], dtype=np.float32)
+    g_pids = np.array([1, 0])
+    g_camids = np.array([0, 1])
+    cmc, mAP = evaluate_rank_numpy(distmat, np.array([0]), g_pids, np.array([0]), g_camids, max_rank=2)
+    assert np.allclose(cmc, [0.0, 1.0])
+    assert mAP == pytest.approx(0.5)
+
+
+def test_invalid_query_excluded():
+    # Query 1 has no valid match (its only same-pid entry shares its camera).
+    distmat = np.array([[0.1, 0.2], [0.2, 0.1]], dtype=np.float32)
+    q_pids, q_camids = np.array([0, 5]), np.array([0, 2])
+    g_pids, g_camids = np.array([0, 5]), np.array([1, 2])
+    cmc, mAP = evaluate_rank_numpy(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=2)
+    cmc_j, mAP_j = evaluate_rank_jax(
+        jnp.asarray(distmat), jnp.asarray(q_pids), jnp.asarray(g_pids),
+        jnp.asarray(q_camids), jnp.asarray(g_camids), max_rank=2,
+    )
+    # Only query 0 counts: match at rank 1 (its junk entry removed... entry0 pid0 cam1 is kept, match)
+    assert np.allclose(cmc, np.asarray(cmc_j))
+    assert mAP == pytest.approx(float(mAP_j), abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_jax_matches_numpy_random(seed):
+    rng = np.random.default_rng(seed)
+    distmat, q_pids, g_pids, q_camids, g_camids = _random_problem(rng)
+    cmc_n, map_n = evaluate_rank_numpy(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=20)
+    cmc_j, map_j = evaluate_rank_jax(
+        jnp.asarray(distmat),
+        jnp.asarray(q_pids.astype(np.int32)),
+        jnp.asarray(g_pids.astype(np.int32)),
+        jnp.asarray(q_camids.astype(np.int32)),
+        jnp.asarray(g_camids.astype(np.int32)),
+        max_rank=20,
+        query_chunk=16,  # force multi-chunk path incl. padding
+    )
+    np.testing.assert_allclose(np.asarray(cmc_j), cmc_n, atol=1e-6)
+    assert map_j == pytest.approx(map_n, abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_cpp_matches_numpy_random(seed):
+    rng = np.random.default_rng(seed)
+    distmat, q_pids, g_pids, q_camids, g_camids = _random_problem(rng, num_q=53, num_g=301)
+    cmc_n, map_n = evaluate_rank_numpy(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=15)
+    cmc_c, map_c = evaluate_rank_cpp(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=15)
+    np.testing.assert_allclose(cmc_c, cmc_n, atol=1e-12)
+    assert map_c == pytest.approx(map_n, abs=1e-12)
+
+
+def test_dispatch_backends_agree(rng):
+    distmat, q_pids, g_pids, q_camids, g_camids = _random_problem(rng)
+    out = {
+        b: evaluate_rank(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=10, backend=b)
+        for b in ("jax", "numpy", "cpp")
+    }
+    for b in ("numpy", "cpp"):
+        np.testing.assert_allclose(out["jax"][0], out[b][0], atol=1e-6)
+        assert out["jax"][1] == pytest.approx(out[b][1], abs=1e-6)
+
+
+def test_cosine_distance_matrix_normalizes():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32)) * 3.0
+    g = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32)) * 0.1
+    d = np.asarray(cosine_distance_matrix(q, g))
+    assert d.shape == (4, 5)
+    assert np.all(d >= -1e-5) and np.all(d <= 2.0 + 1e-5)
+    # self-distance of a vector with itself is 0
+    d_self = np.asarray(cosine_distance_matrix(q, q))
+    assert np.allclose(np.diag(d_self), 0.0, atol=1e-5)
