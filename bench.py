@@ -1,0 +1,76 @@
+"""Benchmark: Market-1501-style gallery feature extraction throughput.
+
+Measures steady-state images/sec/chip for ResNet-50 ReID embedding
+extraction at 256x128 (the reference's headline throughput: ~820-885 img/s
+on one GPU for the 15,913-image Market gallery — BASELINE.md). Uses
+synthetic uint8 batches already resident on host (isolates model + transfer
+throughput, like the reference's warm DataLoader), bf16 compute.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMG_PER_S = 885.0  # best 1-GPU gallery extraction (BASELINE.md)
+
+
+def main():
+    from daliid_tpu.augment.preprocess import normalize_images
+    from daliid_tpu.models import get_model
+    from daliid_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+
+    img_size = (256, 128)
+    batch = 512
+    n_batches = 20
+
+    mesh = make_mesh()
+    bundle = get_model("resnet50", jax.random.key(0), img_size=img_size, dtype=jnp.bfloat16)
+    variables = jax.device_put(bundle.variables, replicated_sharding(mesh))
+    shard = batch_sharding(mesh)
+    module = bundle.module
+
+    @jax.jit
+    def forward(variables, images_u8):
+        x = normalize_images(images_u8, dtype=jnp.bfloat16)
+        return module.apply(variables, x, train=False).astype(jnp.float32)
+
+    rng = np.random.default_rng(0)
+    host_batches = [
+        rng.integers(0, 256, size=(batch, *img_size, 3), dtype=np.uint8) for _ in range(4)
+    ]
+
+    # warmup / compile
+    out = forward(variables, jax.device_put(host_batches[0], shard))
+    out.block_until_ready()
+
+    t0 = time.time()
+    for i in range(n_batches):
+        out = forward(variables, jax.device_put(host_batches[i % 4], shard))
+    out.block_until_ready()
+    dt = time.time() - t0
+
+    n_chips = jax.device_count()
+    img_per_s = batch * n_batches / dt
+    img_per_s_chip = img_per_s / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "market1501_gallery_extraction_resnet50_256x128_bf16",
+                "value": round(img_per_s_chip, 1),
+                "unit": "img/s/chip",
+                "vs_baseline": round(img_per_s_chip / BASELINE_IMG_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

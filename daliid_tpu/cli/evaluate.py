@@ -1,0 +1,92 @@
+"""Single-model evaluation CLI — the ``evaluate.py`` equivalent.
+
+Mirrors the reference eval flow (``Person-ReID/evaluate.py:59-302``): load a
+backbone + trained weights, extract query/gallery embeddings, L2-normalize,
+cosine distmat, Market-protocol CMC/mAP. Supports the distorted-gallery
+variant (turbulence companions at a fixed strength, ``getFeatures.py:25-35``)
+and multi-dataset evaluation (``--targets`` list with per-target galleries).
+
+Example:
+    python -m daliid_tpu.cli.evaluate --targets Synthetic --data_root /tmp/dd \
+        --model_name resnet50 --model_path checkpoints/model_online_resnet50_v0.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from daliid_tpu.data.registry import load_dataset
+from daliid_tpu.eval.features import FeatureExtractor
+from daliid_tpu.eval.validate import get_validator
+from daliid_tpu.models import get_model
+from daliid_tpu.train.checkpoint import load_variables
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DaliID-TPU single-model evaluation")
+    p.add_argument("--targets", type=str, nargs="+", required=True)
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--model_name", type=str, default="resnet50")
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--img_height", type=int, default=256)
+    p.add_argument("--img_width", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--turbulence_dir_path", type=str, default=None)
+    p.add_argument("--turbulence_strength", type=int, default=None)
+    return p
+
+
+def load_bundle(model_name, model_path, img_size, dtype):
+    bundle = get_model(model_name, jax.random.key(12), img_size=img_size, dtype=dtype)
+    if model_path:
+        if model_path.endswith(".npz"):
+            bundle.variables = load_variables(model_path, bundle.variables)
+        else:
+            # torch-format checkpoint (the reference's .h5 state_dict pickles,
+            # mainKIT.py:169-170) for resnet50
+            from daliid_tpu.models.torch_port import load_torch_checkpoint, resnet50_reid_from_torch
+
+            bundle.variables = resnet50_reid_from_torch(load_torch_checkpoint(model_path))
+        print(f"Loaded weights from {model_path}")
+    return bundle
+
+
+def main(args):
+    img_size = (args.img_height, args.img_width)
+    dtype = getattr(jnp, args.compute_dtype)
+    bundle = load_bundle(args.model_name, args.model_path, img_size, dtype)
+    extractor = FeatureExtractor(bundle, img_size=img_size, batch_size=args.batch_size)
+
+    results = {}
+    for target in args.targets:
+        splits = load_dataset(target, root=args.data_root)
+        queries, gallery = splits["query"], splits["gallery"]
+        if isinstance(gallery, list):
+            gallery, queries = gallery[0], queries[0] if isinstance(queries, list) else queries
+        validator = get_validator(target, img_size=img_size, batch_size=args.batch_size)
+
+        q_fvs = extractor.extract(queries, verbose=True)
+        g_fvs = extractor.extract(
+            gallery,
+            turbulence_dir=args.turbulence_dir_path,
+            turb_strength=args.turbulence_strength,
+            dataset=target,
+            verbose=True,
+        )
+        distmat = validator.distance_matrix(q_fvs, g_fvs)
+        cmc, mAP = validator.rank(distmat, queries, gallery)
+        print(f"[{target}] mAP: {mAP:.2%}")
+        for r in (1, 5, 10, 20):
+            if r <= len(cmc):
+                print(f"[{target}] Rank-{r:<3}: {cmc[r - 1]:.2%}")
+        results[target] = (cmc, mAP)
+    return results
+
+
+if __name__ == "__main__":
+    main(build_argparser().parse_args())

@@ -1,0 +1,70 @@
+"""Two-model ensemble evaluation CLI — the ``evaluate_ensembled_models.py``
+equivalent.
+
+Mirrors ``Person-ReID/evaluate_ensembled_models.py:59-314``: load two trained
+models (possibly different backbones), compute each model's cosine distmat,
+evaluate each individually and their uniform average
+(``evaluate_ensembled_models.py:275-314``).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+from daliid_tpu.cli.evaluate import load_bundle
+from daliid_tpu.data.registry import load_dataset
+from daliid_tpu.eval.features import FeatureExtractor
+from daliid_tpu.eval.fusion import average_distmats
+from daliid_tpu.eval.validate import get_validator
+from daliid_tpu.metrics.ranking import cosine_distance_matrix
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DaliID-TPU two-model ensemble evaluation")
+    p.add_argument("--dataset", type=str, required=True)
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--model_name01", type=str, default="resnet50")
+    p.add_argument("--model_name02", type=str, default="resnet50")
+    p.add_argument("--model_path01", type=str, default=None)
+    p.add_argument("--model_path02", type=str, default=None)
+    p.add_argument("--img_height", type=int, default=256)
+    p.add_argument("--img_width", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    return p
+
+
+def main(args):
+    img_size = (args.img_height, args.img_width)
+    dtype = getattr(jnp, args.compute_dtype)
+    splits = load_dataset(args.dataset, root=args.data_root)
+    queries, gallery = splits["query"], splits["gallery"]
+    validator = get_validator(args.dataset, img_size=img_size, batch_size=args.batch_size)
+
+    results = {}
+    distmats = []
+    for tag, name, path in (
+        ("model01", args.model_name01, args.model_path01),
+        ("model02", args.model_name02, args.model_path02),
+    ):
+        bundle = load_bundle(name, path, img_size, dtype)
+        ex = FeatureExtractor(bundle, img_size=img_size, batch_size=args.batch_size)
+        q = ex.extract(queries, verbose=True)
+        g = ex.extract(gallery, verbose=True)
+        d = cosine_distance_matrix(jnp.asarray(q), jnp.asarray(g))
+        distmats.append(d)
+        cmc, mAP = validator.rank(d, queries, gallery)
+        print(f"[{tag}] mAP: {mAP:.2%} Rank-1: {cmc[0]:.2%}")
+        results[tag] = {"mAP": float(mAP), "rank1": float(cmc[0])}
+
+    ens = average_distmats(*distmats)
+    cmc, mAP = validator.rank(ens, queries, gallery)
+    print(f"[ensemble] mAP: {mAP:.2%} Rank-1: {cmc[0]:.2%}")
+    results["ensemble"] = {"mAP": float(mAP), "rank1": float(cmc[0])}
+    return results
+
+
+if __name__ == "__main__":
+    main(build_argparser().parse_args())

@@ -1,0 +1,214 @@
+"""Training CLI — the ``mainKIT.py`` equivalent.
+
+Mirrors the reference driver (``Person-ReID/mainKIT.py:58-201``): build the
+(online, momentum) pair, load the dataset, pre-training sanity eval, then
+the epoch loop with the 3-phase LR schedule, periodic validation of both
+models, best-Rank-1 checkpointing, and metric journaling (JSON instead of
+joblib). Flags mirror ``mainKIT.py:316-344``.
+
+Example (hermetic smoke):
+    python -m daliid_tpu.cli.train --dataset Synthetic --data_root /tmp/dd \
+        --model_name resnet50 --epochs 2 --P 4 --K 2 --eval_freq 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from daliid_tpu.config import TrainConfig
+from daliid_tpu.data.registry import load_dataset
+from daliid_tpu.eval.validate import get_validator, msmt17_balanced_accuracy
+from daliid_tpu.models import build_model_pair
+from daliid_tpu.train.checkpoint import CheckpointManager, save_variables
+from daliid_tpu.train.sampler import PKBatchSampler
+from daliid_tpu.train.trainer import Trainer
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DaliID-TPU training")
+    p.add_argument("--img_height", type=int, default=256)
+    p.add_argument("--img_width", type=int, default=128)
+    p.add_argument("--model_name", type=str, default="resnet50")
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--lr", type=float, default=3.5e-4)
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--P", type=int, default=16)
+    p.add_argument("--K", type=int, default=12)
+    p.add_argument("--tau", type=float, default=0.05)
+    p.add_argument("--beta", type=float, default=0.999)
+    p.add_argument("--lambda_proxy", type=float, default=0.4)
+    p.add_argument("--epochs", "--number_of_epoches", dest="epochs", type=int, default=250)
+    p.add_argument("--dataset", type=str, required=True)
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--turbulence_dir_path", type=str, default=None)
+    p.add_argument("--is_clean_training", action="store_true")
+    p.add_argument("--kind_of_transform", type=int, default=1)
+    p.add_argument("--path_to_save_models", type=str, default="checkpoints")
+    p.add_argument("--path_to_save_metrics", type=str, default="metrics")
+    p.add_argument("--version", type=str, default="v0")
+    p.add_argument("--eval_freq", type=int, default=5)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--extractor_batch", type=int, default=512)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--skip_initial_eval", action="store_true")
+    return p
+
+
+def config_from_args(args) -> TrainConfig:
+    return TrainConfig(
+        model_name=args.model_name,
+        img_height=args.img_height,
+        img_width=args.img_width,
+        compute_dtype=args.compute_dtype,
+        model_path=args.model_path,
+        dataset=args.dataset,
+        data_root=args.data_root,
+        turbulence_dir=args.turbulence_dir_path,
+        kind_of_transform=args.kind_of_transform,
+        is_clean_training=args.is_clean_training,
+        P=args.P,
+        K=args.K,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        tau=args.tau,
+        beta=args.beta,
+        lambda_proxy=args.lambda_proxy,
+        num_epochs=args.epochs,
+        eval_freq=args.eval_freq,
+        save_dir=args.path_to_save_models,
+        metrics_dir=args.path_to_save_metrics,
+        version=args.version,
+        extractor_batch=args.extractor_batch,
+    )
+
+
+def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False):
+    print(f"Devices: {jax.devices()}")
+    dtype = getattr(jnp, cfg.compute_dtype)
+
+    splits = load_dataset(cfg.dataset, root=cfg.data_root)
+    train_table = splits["train"]
+    gallery, queries = splits["gallery"], splits["query"]
+    print(f"Number of training examples: {len(train_table)} ({train_table.num_ids} ids)")
+
+    turbulence_dir = cfg.turbulence_dir
+    if cfg.dataset == "Synthetic" and cfg.kind_of_transform == 1 and not turbulence_dir:
+        from daliid_tpu.data.registry import data_root as _dr
+
+        turbulence_dir = os.path.join(_dr(cfg.data_root), "Synthetic", "turbulence")
+
+    online, momentum = build_model_pair(
+        cfg.model_name, jax.random.key(cfg.seed), img_size=cfg.img_size, dtype=dtype
+    )
+    if cfg.model_path:
+        from daliid_tpu.train.checkpoint import load_variables
+
+        online.variables = load_variables(cfg.model_path, online.variables)
+        momentum.variables = jax.tree.map(jnp.copy, online.variables)
+        print(f"Loaded weights from {cfg.model_path}")
+
+    sampler = PKBatchSampler(
+        train_table,
+        train_table.pids,
+        P=cfg.P,
+        K=cfg.K,
+        kind_of_transform=cfg.kind_of_transform,
+        turbulence_dir=turbulence_dir,
+        dataset=cfg.dataset,
+        seed=cfg.seed,
+    )
+    trainer = Trainer(
+        online,
+        momentum,
+        sampler,
+        img_size=cfg.img_size,
+        base_lr=cfg.lr,
+        weight_decay=cfg.weight_decay,
+        tau=cfg.tau,
+        beta=cfg.beta,
+        lambda_proxy=cfg.lambda_proxy,
+        num_epochs=cfg.num_epochs,
+        num_proxies=cfg.num_proxies,
+        compute_dtype=dtype,
+        seed=cfg.seed,
+        extractor_batch=cfg.extractor_batch,
+        decode_workers=cfg.decode_workers,
+    )
+
+    os.makedirs(cfg.metrics_dir, exist_ok=True)
+    ckpt = CheckpointManager(cfg.save_dir)
+    start_epoch = 1
+    if resume and ckpt.latest_step() is not None:
+        trainer.state, last_epoch = ckpt.restore(template_state=trainer.state)
+        start_epoch = last_epoch + 1
+        print(f"Resumed from epoch {last_epoch}")
+
+    validator = get_validator(cfg.dataset, img_size=cfg.img_size, batch_size=cfg.extractor_batch)
+    if not skip_initial_eval:
+        # pre-training sanity eval (mainKIT.py:87)
+        trainer.extractor.update_variables(trainer.online_variables())
+        validator.validate(queries, gallery, trainer.extractor, verbose=True)
+
+    best_r1, best_iter = 0.0, 0
+    progress = []
+    t0_pipeline = time.time()
+    for epoch in range(start_epoch, cfg.num_epochs + 1):
+        print(f"###============ Iteration number {epoch}/{cfg.num_epochs} ============###")
+        means = trainer.train_epoch(epoch, verbose=True)
+        print(
+            f"epoch {epoch}: loss={means.get('loss', 0):.5f} "
+            f"center={means.get('center_loss', 0):.5f} proxy={means.get('proxy_loss', 0):.5f} "
+            f"acc_bal={means.get('batch_acc_bal', 0):.3f} lr={means['lr']:g} "
+            f"({means['epoch_seconds']:.1f}s)"
+        )
+
+        if epoch % cfg.eval_freq == 0:
+            trainer.extractor.update_variables(trainer.online_variables())
+            cmc, mAP, _ = validator.validate(queries, gallery, trainer.extractor, verbose=True)
+            trainer.extractor.update_variables(trainer.momentum_variables())
+            cmc_m, mAP_m, _ = validator.validate(queries, gallery, trainer.extractor, verbose=True)
+
+            if cfg.dataset == "MSMT17" and "val" in splits:
+                trainer.extractor.update_variables(trainer.online_variables())
+                msmt17_balanced_accuracy(train_table, splits["val"], trainer.extractor)
+
+            r1 = float(max(cmc[0], cmc_m[0]))
+            if r1 > best_r1:
+                best_r1, best_iter = r1, epoch
+                ckpt.save(epoch, trainer.state, metrics={"rank1": r1, "mAP": float(mAP)})
+                save_variables(
+                    os.path.join(cfg.save_dir, f"model_online_{cfg.model_name}_{cfg.version}.npz"),
+                    trainer.online_variables(),
+                )
+                save_variables(
+                    os.path.join(cfg.save_dir, f"model_momentum_{cfg.model_name}_{cfg.version}.npz"),
+                    trainer.momentum_variables(),
+                )
+            progress.append(
+                {"epoch": epoch, "rank1": float(cmc[0]), "mAP": float(mAP),
+                 "rank1_momentum": float(cmc_m[0]), "mAP_momentum": float(mAP_m), **{
+                     k: float(v) for k, v in means.items()}}
+            )
+            with open(
+                os.path.join(cfg.metrics_dir, f"progress_{cfg.model_name}_{cfg.version}.json"), "w"
+            ) as f:
+                json.dump(progress, f, indent=2)
+            print(f"Best R1: {best_r1 * 100:.2f} and best iter: {best_iter}")
+
+    total = time.time() - t0_pipeline
+    print(f"Total pipeline Time: {total:.1f}s ({total / max(cfg.num_epochs - start_epoch + 1, 1):.1f}s/epoch)")
+    ckpt.close()
+    return best_r1, best_iter
+
+
+if __name__ == "__main__":
+    args = build_argparser().parse_args()
+    main(config_from_args(args), resume=args.resume, skip_initial_eval=args.skip_initial_eval)

@@ -1,0 +1,85 @@
+"""One typed configuration covering model, data, sampler, losses, schedule,
+eval — replacing the reference's per-script argparse blocks
+(``Person-ReID/mainKIT.py:316-344``, ``evaluate.py:630-677``) and the absent
+yacs ``config.py`` it imports (``evaluate.py:46``, noted missing in
+SURVEY.md §2.1 #10). Defaults mirror the reference's training defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # model
+    model_name: str = "resnet50"
+    img_height: int = 256                 # mainKIT.py:320
+    img_width: int = 128                  # mainKIT.py:321
+    compute_dtype: str = "bfloat16"
+    model_path: Optional[str] = None      # pretrained weights (.npz or torch)
+
+    # data
+    dataset: str = "Market"
+    data_root: Optional[str] = None
+    turbulence_dir: Optional[str] = None  # mainKIT.py:336
+    kind_of_transform: int = 1            # 1 = AT-paired, 0 = clean (mainKIT.py:340)
+    is_clean_training: bool = False       # mainKIT.py:337
+
+    # sampler
+    P: int = 16                           # mainKIT.py:326
+    K: int = 12                           # mainKIT.py:327
+
+    # optimization (mainKIT.py:324-332 defaults)
+    lr: float = 3.5e-4
+    weight_decay: float = 5e-4
+    tau: float = 0.05
+    beta: float = 0.999
+    lambda_proxy: float = 0.4
+    num_epochs: int = 250
+    num_proxies: int = 5                  # train_encodersKIT.py:61
+    seed: int = 12                        # mainKIT.py:48-50
+
+    # eval / checkpointing
+    eval_freq: int = 5                    # mainKIT.py:344 (no default upstream)
+    save_dir: str = "checkpoints"
+    metrics_dir: str = "metrics"
+    version: str = "v0"
+
+    # runtime
+    extractor_batch: int = 512
+    decode_workers: int = 16
+
+    @property
+    def img_size(self) -> Tuple[int, int]:
+        return (self.img_height, self.img_width)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "TrainConfig":
+        return TrainConfig(**json.loads(s))
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    model_name: str = "resnet50"
+    model_path: Optional[str] = None
+    model_path_second: Optional[str] = None   # ensemble / fusion second model
+    img_height: int = 256
+    img_width: int = 128
+    compute_dtype: str = "bfloat16"
+    dataset: str = "Market"
+    data_root: Optional[str] = None
+    batch_size: int = 512
+    turbulence_dir: Optional[str] = None
+    turb_strength: Optional[int] = None
+    multiple_output: bool = False
+    roc_version: Optional[str] = None
+
+    @property
+    def img_size(self) -> Tuple[int, int]:
+        return (self.img_height, self.img_width)

@@ -328,6 +328,25 @@ def _load_imagenet(root):
     }
 
 
+@register_dataset("Synthetic")
+def _load_synthetic(root):
+    """Deterministic generated dataset (hermetic smoke runs / CI). Built on
+    first use under ``<root>/Synthetic``; the turbulence dir is
+    ``<root>/Synthetic/turbulence``."""
+    from daliid_tpu.data.synthetic import make_synthetic_dataset
+
+    base = os.path.join(root, "Synthetic")
+    marker = os.path.join(base, "bounding_box_train")
+    if not os.path.isdir(marker):
+        splits, _ = make_synthetic_dataset(base, num_ids=16, imgs_per_id_train=8, imgs_per_id_test=4)
+        return splits
+    return {
+        "train": parse_market_duke_dir(os.path.join(base, "bounding_box_train")),
+        "gallery": parse_market_duke_dir(os.path.join(base, "bounding_box_test")),
+        "query": parse_market_duke_dir(os.path.join(base, "query")),
+    }
+
+
 def load_dataset(name: str, root: str | None = None) -> Dict[str, ReidTable]:
     """Load a registered dataset → dict with 'train'/'gallery'/'query'
     (+'val' where the format defines one). Mirrors

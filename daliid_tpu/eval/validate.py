@@ -1,0 +1,128 @@
+"""Validators: query/gallery CMC+mAP, BRIAR argsort-CMC, MSMT17 balanced acc.
+
+Mirrors ``Person-ReID/validateModels.py``:
+
+- :class:`Validator` = ``validateModels.validate`` (``validateModels.py:35-76``):
+  extract → L2-normalize → cosine distmat → Market-protocol CMC/mAP;
+- :class:`BriarValidator` = ``validateBRIAR`` (``validateModels.py:84-105``):
+  top-20 argsort CMC with no camera filtering, mAP reported as 0;
+- :func:`get_validator` = ``validationManager.getValidator``
+  (``validateModels.py:108-118``);
+- :func:`msmt17_balanced_accuracy` = ``MSMT17_validator.validate_with_valSet``
+  (``validateModels.py:155-196``): class centers from train features,
+  top-1-center balanced accuracy on the val split.
+
+Distance + ranking run on device; only the final scalars come back.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from daliid_tpu.data.registry import ReidTable
+from daliid_tpu.eval.features import FeatureExtractor
+from daliid_tpu.metrics.ranking import cosine_distance_matrix, evaluate_rank_jax
+
+
+def _l2n(x: np.ndarray) -> np.ndarray:
+    return x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+
+
+class Validator:
+    """Standard Market-protocol validation."""
+
+    def __init__(self, img_size=(256, 128), batch_size: int = 512, mesh=None, max_rank: int = 50):
+        self.img_size = img_size
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.max_rank = max_rank
+
+    def distance_matrix(self, query_fvs: np.ndarray, gallery_fvs: np.ndarray) -> jnp.ndarray:
+        return cosine_distance_matrix(jnp.asarray(query_fvs), jnp.asarray(gallery_fvs))
+
+    def rank(self, distmat, queries: ReidTable, gallery: ReidTable):
+        cmc, mAP = evaluate_rank_jax(
+            jnp.asarray(distmat),
+            jnp.asarray(queries.pids.astype(np.int32)),
+            jnp.asarray(gallery.pids.astype(np.int32)),
+            jnp.asarray(queries.camids.astype(np.int32)),
+            jnp.asarray(gallery.camids.astype(np.int32)),
+            max_rank=self.max_rank,
+        )
+        return np.asarray(cmc), float(mAP)
+
+    def validate(self, queries: ReidTable, gallery: ReidTable, bundle_or_extractor, verbose=True):
+        """→ (cmc, mAP, distmat). Accepts a ModelBundle or a reusable
+        FeatureExtractor (compile reuse across epochs)."""
+        extractor = (
+            bundle_or_extractor
+            if isinstance(bundle_or_extractor, FeatureExtractor)
+            else FeatureExtractor(
+                bundle_or_extractor, img_size=self.img_size, batch_size=self.batch_size, mesh=self.mesh
+            )
+        )
+        q_fvs = extractor.extract(queries, verbose=verbose)
+        g_fvs = extractor.extract(gallery, verbose=verbose)
+        distmat = self.distance_matrix(q_fvs, g_fvs)
+        cmc, mAP = self.rank(distmat, queries, gallery)
+        if verbose:
+            print(f"** Results ** mAP: {mAP:.2%}")
+            for r in (1, 5, 10):
+                print(f"Rank-{r:<3}: {cmc[r - 1]:.2%}")
+        return cmc, mAP, np.asarray(distmat)
+
+
+class BriarValidator(Validator):
+    """BRIAR-style CMC: plain argsort over the distmat, no junk filtering,
+    ranks (1, 5, 10, 20), mAP 0 (``validateModels.py:84-105``)."""
+
+    def rank(self, distmat, queries: ReidTable, gallery: ReidTable):
+        distmat = np.asarray(distmat)
+        ranked = np.argsort(distmat, axis=1)[:, :20]
+        predicted = gallery.pids[ranked]
+        matching = queries.pids[:, None] == predicted
+        cmc = [float(np.mean(matching[:, :r].sum(axis=1) > 0)) for r in (1, 5, 10, 20)]
+        return np.asarray(cmc), 0.0
+
+
+def get_validator(dataset_name: str, **kw) -> Validator:
+    if dataset_name == "BRIAR":
+        return BriarValidator(**kw)
+    return Validator(**kw)
+
+
+def msmt17_balanced_accuracy(
+    train_table: ReidTable,
+    val_table: ReidTable,
+    bundle_or_extractor,
+    img_size=(256, 128),
+    batch_size: int = 512,
+    mesh=None,
+    verbose: bool = True,
+) -> float:
+    """Center-based balanced accuracy on a validation split
+    (``validateModels.py:155-196``): per-class centers from train features,
+    top-1 center prediction per val sample, mean per-class TPR."""
+    extractor = (
+        bundle_or_extractor
+        if isinstance(bundle_or_extractor, FeatureExtractor)
+        else FeatureExtractor(bundle_or_extractor, img_size=img_size, batch_size=batch_size, mesh=mesh)
+    )
+    train_fvs = _l2n(extractor.extract(train_table))
+    val_fvs = _l2n(extractor.extract(val_table))
+
+    labels = np.unique(train_table.pids)
+    centers = np.stack([train_fvs[train_table.pids == l].mean(axis=0) for l in labels])
+    centers = _l2n(centers)
+
+    sims = val_fvs @ centers.T
+    predicted = labels[np.argmax(sims, axis=1)]
+    true_match = predicted == val_table.pids
+
+    val_labels = np.unique(val_table.pids)
+    tpr = [true_match[val_table.pids == l].mean() for l in val_labels]
+    acc = float(np.mean(tpr))
+    if verbose:
+        print(f"Balanced Accuracy on Validation Set: {acc:.3%}")
+    return acc

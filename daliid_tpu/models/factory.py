@@ -1,0 +1,106 @@
+"""Backbone factory — builds (online, momentum) model pairs.
+
+Mirrors the reference factory ``getDCNN`` (``Person-ReID/Encoders.py:25-241``),
+which builds two copies of the named backbone with synchronized weights
+(online + EMA momentum model) and wraps each in ``nn.DataParallel``. Here a
+"model" is a pure flax module plus a variables pytree; the momentum model is
+simply a second copy of the variables (no module duplication), and data
+parallelism is batch-axis sharding at call sites instead of module wrapping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from daliid_tpu.models.resnet import ResNet50ReID
+from daliid_tpu.models.vit import ViTReID, transreid_base, vit_base_reid, vit_small_reid
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """A backbone module + its variables ({'params', 'batch_stats'})."""
+
+    module: Any
+    variables: Dict[str, Any]
+    feature_dim: int
+    name: str
+
+    def apply_eval(self, images, **kw):
+        return self.module.apply(self.variables, images, train=False, **kw)
+
+
+MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+
+def register_model(name: str):
+    def deco(fn):
+        MODEL_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@register_model("resnet50")
+def _resnet50(dtype=jnp.float32, feature="both", **kw):
+    m = ResNet50ReID(dtype=dtype, feature=feature)
+    return m, 2048
+
+
+@register_model("resnet50_gap")
+def _resnet50_gap(dtype=jnp.float32, **kw):
+    return ResNet50ReID(dtype=dtype, feature="gap"), 2048
+
+
+@register_model("vit")
+def _vit(dtype=jnp.float32, img_size=(256, 128), **kw):
+    m = vit_base_reid(dtype=dtype, img_size=tuple(img_size))
+    return m, 768
+
+
+@register_model("vit_small")
+def _vit_small(dtype=jnp.float32, img_size=(256, 128), **kw):
+    m = vit_small_reid(dtype=dtype, img_size=tuple(img_size))
+    return m, 384
+
+
+@register_model("transreid")
+def _transreid(dtype=jnp.float32, img_size=(256, 128), sie_cameras=0, sie_views=0, **kw):
+    m = transreid_base(img_size=tuple(img_size), sie_cameras=sie_cameras, sie_views=sie_views, dtype=dtype)
+    return m, 768
+
+
+def get_model(name: str, rng: jax.Array, img_size=(256, 128), dtype=jnp.float32, **kw) -> ModelBundle:
+    """Build + initialize one backbone. Analogous to one arm of ``getDCNN``
+    (``Encoders.py:25-241``); unknown names raise like the reference's
+    fallthrough."""
+    if name not in MODEL_REGISTRY:
+        raise KeyError(f"unknown model {name!r}; registered: {sorted(MODEL_REGISTRY)}")
+    module, feature_dim = MODEL_REGISTRY[name](dtype=dtype, img_size=img_size, **kw)
+    dummy = jnp.zeros((1, img_size[0], img_size[1], 3), dtype=jnp.float32)
+    # Initialize on host CPU: init is a one-shot shape-driven program and
+    # compiling it for the accelerator is pure startup latency (minutes over
+    # a remote-compile link). The trainer device_puts the variables where
+    # they belong.
+    # NOTE: eager, not jit — jit would target the accelerator backend
+    # regardless of default_device and pay a full remote compile.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = module.init({"params": jax.device_put(rng, cpu)}, dummy, train=False)
+    return ModelBundle(module=module, variables=variables, feature_dim=feature_dim, name=name)
+
+
+def build_model_pair(name: str, rng: jax.Array, img_size=(256, 128), dtype=jnp.float32, **kw):
+    """(online, momentum) pair with identical initial weights — the weight
+    sync at ``Encoders.py:36-44`` (momentum copies online's state_dict)."""
+    online = get_model(name, rng, img_size=img_size, dtype=dtype, **kw)
+    momentum = ModelBundle(
+        module=online.module,
+        variables=jax.tree.map(jnp.copy, online.variables),
+        feature_dim=online.feature_dim,
+        name=name,
+    )
+    return online, momentum

@@ -1,0 +1,212 @@
+"""ViT / TransReID backbone in flax — overlapping patches, SIE, drop-path.
+
+TPU-native re-design of the reference's two ViT paths:
+
+- the torchvision-ViT wrapper ``ViTReID`` (``Person-ReID/Encoders.py:767-828``):
+  ViT-B/16 trunk, cls-token embedding, BN neck;
+- the self-contained TransReID backbone (``Person-ReID/vit_pytorch.py:291-433``)
+  with overlapping patch embedding (``PatchEmbed_overlap``,
+  ``vit_pytorch.py:251-288``), SIE camera/view embeddings added to every
+  token (``vit_pytorch.py:316-331,375-404``), and stochastic depth
+  (``DropPath``, ``vit_pytorch.py:45-72``).
+
+One configurable module covers both: set ``patch_stride == patch_size`` for
+the vanilla ViT, smaller for overlapping TransReID patches; ``sie_cameras``/
+``sie_views`` > 0 enables SIE. Attention uses ``jax.nn.dot_product_attention``
+(fused flash path on TPU); sequence length is ≤ ~211 tokens (SURVEY.md §5 —
+sequence parallelism is deliberately out of scope).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def drop_path(x, key, rate: float):
+    """Per-sample stochastic depth (vit_pytorch.py:45-57)."""
+    if rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, shape=(x.shape[0],) + (1,) * (x.ndim - 1))
+    return x / keep * mask
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention (vit_pytorch.py:139-164) with fused SDPA."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        qkv = nn.Dense(3 * C, use_bias=True, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, N, self.num_heads, head_dim)
+
+        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+        out = out.reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block with stochastic depth (vit_pytorch.py:167-184)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        C = x.shape[-1]
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = Attention(self.num_heads, dtype=self.dtype, name="attn")(y, train)
+        if train and self.drop_path_rate > 0.0:
+            y = drop_path(y, self.make_rng("droppath"), self.drop_path_rate)
+        x = x + y
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(C * self.mlp_ratio), C, dtype=self.dtype, name="mlp")(y, train)
+        if train and self.drop_path_rate > 0.0:
+            y = drop_path(y, self.make_rng("droppath"), self.drop_path_rate)
+        return x + y
+
+
+def resize_pos_embed(pos_embed: np.ndarray, new_hw: tuple, old_hw: tuple) -> np.ndarray:
+    """Bilinear grid interpolation of (1, 1+H*W, C) position embeddings when
+    loading a checkpoint at a different resolution (vit_pytorch.py:436-450)."""
+    cls_tok, grid = pos_embed[:, :1], pos_embed[:, 1:]
+    oh, ow = old_hw
+    nh, nw = new_hw
+    c = grid.shape[-1]
+    grid = grid.reshape(oh, ow, c)
+    grid = jax.image.resize(jnp.asarray(grid), (nh, nw, c), method="bilinear")
+    grid = np.asarray(grid).reshape(1, nh * nw, c)
+    return np.concatenate([cls_tok, grid], axis=1)
+
+
+class ViTReID(nn.Module):
+    """ViT trunk + ReID head → (B, embed_dim) cls-token embedding after a BN
+    neck (ViTReID head, ``Encoders.py:808-828``; TransReID forward_features,
+    ``vit_pytorch.py:375-404``)."""
+
+    img_size: tuple = (256, 128)
+    patch_size: int = 16
+    patch_stride: int = 16        # < patch_size → overlapping (TransReID)
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.1   # TransReID default stochastic depth
+    sie_cameras: int = 0          # >0 enables SIE camera embedding
+    sie_views: int = 0
+    sie_coef: float = 3.0         # cfg.MODEL.SIE_COE equivalent
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def grid_hw(self):
+        h = (self.img_size[0] - self.patch_size) // self.patch_stride + 1
+        w = (self.img_size[1] - self.patch_size) // self.patch_stride + 1
+        return h, w
+
+    @property
+    def feature_dim(self):
+        return self.embed_dim
+
+    @nn.compact
+    def __call__(self, x, camera_ids=None, view_ids=None, train: bool = False):
+        B = x.shape[0]
+        x = x.astype(self.dtype)
+        # (Overlapping) patch embedding as a strided conv
+        # (PatchEmbed_overlap, vit_pytorch.py:251-288).
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_stride, self.patch_stride),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(B, gh * gw, self.embed_dim)
+
+        cls = self.param("cls_token", nn.initializers.truncated_normal(0.02), (1, 1, self.embed_dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls.astype(self.dtype), (B, 1, self.embed_dim)), x], axis=1)
+
+        pos = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02), (1, 1 + gh * gw, self.embed_dim)
+        )
+        x = x + pos.astype(self.dtype)
+
+        # SIE camera/view embedding, added to all tokens scaled by sie_coef
+        # (vit_pytorch.py:316-331,389-396).
+        if self.sie_cameras > 0 or self.sie_views > 0:
+            n_sie = max(self.sie_cameras, 1) * max(self.sie_views, 1)
+            sie = self.param("sie_embed", nn.initializers.truncated_normal(0.02), (n_sie, 1, self.embed_dim))
+            if self.sie_cameras > 0 and self.sie_views > 0:
+                idx = camera_ids * self.sie_views + view_ids
+            elif self.sie_cameras > 0:
+                idx = camera_ids if camera_ids is not None else jnp.zeros((B,), jnp.int32)
+            else:
+                idx = view_ids if view_ids is not None else jnp.zeros((B,), jnp.int32)
+            x = x + self.sie_coef * sie[idx].astype(self.dtype)
+
+        # Linear drop-path schedule across depth (vit_pytorch.py:343-345).
+        dprs = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
+        for i in range(self.depth):
+            x = Block(
+                self.num_heads, self.mlp_ratio, dprs[i], dtype=self.dtype, name=f"block{i}"
+            )(x, train=train)
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        cls_out = x[:, 0].astype(jnp.float32)
+        out = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name="last_bn",
+        )(cls_out)
+        return out
+
+
+def vit_base_reid(**kw) -> ViTReID:
+    """ViT-B/16 ReID (vit_pytorch.py:453-460 factory equivalent)."""
+    return ViTReID(embed_dim=768, depth=12, num_heads=12, **kw)
+
+
+def vit_small_reid(**kw) -> ViTReID:
+    """ViT-S/16 ReID (vit_pytorch.py:462-468 equivalent: 8 heads, depth 8 in
+    the reference's 'small'; we use the deit-small 384/6/12 shape from
+    vit_pytorch.py:470-476)."""
+    return ViTReID(embed_dim=384, depth=12, num_heads=6, **kw)
+
+
+def transreid_base(img_size=(256, 128), sie_cameras=0, sie_views=0, **kw) -> ViTReID:
+    """TransReID ViT-B with overlapping stride-12 patches + SIE
+    (make_models.py:121-218 build path)."""
+    return ViTReID(
+        img_size=img_size,
+        patch_stride=12,
+        sie_cameras=sie_cameras,
+        sie_views=sie_views,
+        **kw,
+    )

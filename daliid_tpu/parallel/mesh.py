@@ -1,0 +1,58 @@
+"""Device mesh + sharding helpers — the TPU replacement for DataParallel.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(replicate module, scatter batch, gather outputs — every model build,
+``Person-ReID/Encoders.py:39-40``; inventory in SURVEY.md §2.3). The
+TPU-native equivalent: one ``Mesh`` over all chips with a ``data`` axis,
+parameters replicated, batches sharded on axis 0. Gradient all-reduce is
+implicit in sharded autodiff; collectives ride ICI. Multi-host extends the
+same program via ``jax.distributed.initialize`` (DCN between hosts).
+
+Models here are small (≤ ViT-B), so tensor/pipeline/sequence/expert axes are
+deliberately absent — matching the reference's scope (SURVEY.md §2.3, §5) —
+but the mesh helpers accept extra axes so a ``model`` axis can be added
+without touching call sites.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axis_names: Sequence[str] = ("data",), devices=None) -> Mesh:
+    """A 1-D (or trivially-extended) mesh over all local devices."""
+    devices = devices if devices is not None else jax.devices()
+    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard axis 0 over the data axis (DataParallel's scatter)."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated (DataParallel's module replication)."""
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(array: np.ndarray, multiple: int, axis: int = 0):
+    """Pad ``axis`` up to a multiple (XLA static shapes + even sharding).
+    Returns (padded, original_length)."""
+    n = array.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return array, n
+    widths = [(0, 0)] * array.ndim
+    widths[axis] = (0, pad)
+    return np.pad(array, widths), n
+
+
+def shard_batch(mesh: Mesh, array, axis: str = "data"):
+    """Device-put a host batch sharded on axis 0 over the mesh."""
+    return jax.device_put(array, batch_sharding(mesh, axis))

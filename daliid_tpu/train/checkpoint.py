@@ -1,0 +1,117 @@
+"""Checkpoint / resume via orbax — full training state, not weights-only.
+
+The reference only ever saves best-metric ``state_dict`` snapshots of the
+online+momentum models (``Person-ReID/mainKIT.py:165-170``) — optimizer
+state is never persisted and a crash loses the run (SURVEY.md §5). Here a
+checkpoint carries the complete :class:`~daliid_tpu.train.trainer.TrainState`
+(params, batch stats, optimizer state, momentum copies) plus the epoch
+counter and host RNG state, so training resumes exactly.
+
+Export back to the reference's torch key scheme is available via
+:func:`daliid_tpu.models.torch_port.resnet50_reid_to_torch_keys`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from daliid_tpu.train.trainer import TrainState
+
+
+def _state_to_pytree(state: TrainState) -> Dict[str, Any]:
+    return {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "momentum_params": state.momentum_params,
+        "momentum_batch_stats": state.momentum_batch_stats,
+    }
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: numbered steps + a retained best-metric step."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                best_fn=lambda m: m.get("rank1", 0.0),
+                best_mode="max",
+            ),
+        )
+
+    def save(self, epoch: int, state: TrainState, metrics: Dict[str, float] | None = None):
+        payload = {
+            "state": _state_to_pytree(state),
+            "epoch": np.int64(epoch),
+        }
+        self._mgr.save(
+            epoch,
+            args=ocp.args.StandardSave(payload),
+            metrics={k: float(v) for k, v in (metrics or {}).items()},
+        )
+        self._mgr.wait_until_finished()
+
+    def restore(self, epoch: int | None = None, template_state: TrainState | None = None):
+        """→ (TrainState, epoch). ``epoch=None`` restores the latest step."""
+        step = epoch if epoch is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        if template_state is not None:
+            template = {
+                "state": _state_to_pytree(template_state),
+                "epoch": np.int64(0),
+            }
+            payload = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        else:
+            payload = self._mgr.restore(step)
+        s = payload["state"]
+        state = TrainState(
+            params=s["params"],
+            batch_stats=s["batch_stats"],
+            opt_state=s["opt_state"],
+            momentum_params=s["momentum_params"],
+            momentum_batch_stats=s["momentum_batch_stats"],
+        )
+        return state, int(payload["epoch"])
+
+    def best_step(self):
+        return self._mgr.best_step()
+
+    def latest_step(self):
+        return self._mgr.latest_step()
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_variables(path: str, variables) -> None:
+    """Weights-only export (the analogue of ``torch.save(state_dict)``,
+    ``mainKIT.py:169-170``) as an .npz of flattened paths."""
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    arrays = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+    np.savez(path, **arrays)
+
+
+def load_variables(path: str, template) -> Any:
+    """Restore a weights-only .npz into the template's structure."""
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for k, v in flat:
+        key = jax.tree_util.keystr(k)
+        if key not in data:
+            raise KeyError(f"checkpoint missing {key}")
+        arr = data[key]
+        if arr.shape != np.shape(v):
+            raise ValueError(f"shape mismatch for {key}: {arr.shape} vs {np.shape(v)}")
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -1,0 +1,361 @@
+"""Training engine: jit train_step, EMA momentum model, epoch orchestration.
+
+Re-implements the reference trainer (``Person-ReID/train_encodersKIT.py:45-249``)
+and the outer pipeline loop (``Person-ReID/mainKIT.py:58-201``) as a
+functional JAX program:
+
+- one jit-compiled ``train_step`` fusing augmentation → forward (train-mode
+  BN) → L2-normalize → weighted center + proxy losses → Adam update → EMA,
+  batch sharded over the ``data`` mesh axis, params replicated (gradient
+  all-reduce implicit in sharded autodiff);
+- EMA momentum update as a single ``tree_map`` lerp over params AND batch
+  stats, replacing the per-key state_dict loop
+  (``train_encodersKIT.py:218-226``);
+- Adam with torch-style L2 weight decay folded into the gradient
+  (``torch.optim.Adam(weight_decay=...)``, ``mainKIT.py:99``) and the
+  3-phase step LR schedule 100/100/50 at lr, lr/10, lr/100
+  (``mainKIT.py:129-132``), settable per-epoch like ``lambda_lr_warmup``
+  (``mainKIT.py:204-208``);
+- per-epoch proxy/center mining via the shared FeatureExtractor
+  (``train_encodersKIT.py:103-156``).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from daliid_tpu import losses as L
+from daliid_tpu.augment.preprocess import decode_resize
+from daliid_tpu.augment.train_augment import _augment_one
+from daliid_tpu.augment.preprocess import IMAGENET_MEAN, IMAGENET_STD
+from daliid_tpu.data.registry import ReidTable
+from daliid_tpu.eval.features import FeatureExtractor
+from daliid_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from daliid_tpu.train.proxies import mine_proxies_and_centers
+from daliid_tpu.train.sampler import PKBatchSampler
+
+
+def lr_schedule_values(base_lr: float, num_epochs: int = 250) -> np.ndarray:
+    """Per-epoch LR: 100 epochs at lr, 100 at lr/10, 50 at lr/100, truncated
+    or extended to ``num_epochs`` (``mainKIT.py:129-132``)."""
+    vals = np.concatenate(
+        [np.full(100, base_lr), np.full(100, base_lr / 10), np.full(50, base_lr / 100)]
+    )
+    if num_epochs <= len(vals):
+        return vals[:num_epochs]
+    return np.concatenate([vals, np.full(num_epochs - len(vals), base_lr / 100)])
+
+
+def make_optimizer(learning_rate: float = 3.5e-4, weight_decay: float = 5e-4):
+    """Adam with L2 decay added to the gradient *before* the moments —
+    torch-``Adam(weight_decay=...)`` semantics, not decoupled AdamW."""
+    return optax.inject_hyperparams(
+        lambda learning_rate, weight_decay: optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.adam(learning_rate),
+        )
+    )(learning_rate=learning_rate, weight_decay=weight_decay)
+
+
+@dataclasses.dataclass
+class TrainState:
+    """All mutable training state (a pytree of arrays)."""
+
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    momentum_params: Any
+    momentum_batch_stats: Any
+
+    def online_variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    def momentum_variables(self):
+        return {"params": self.momentum_params, "batch_stats": self.momentum_batch_stats}
+
+
+jax.tree_util.register_dataclass(
+    TrainState,
+    data_fields=["params", "batch_stats", "opt_state", "momentum_params", "momentum_batch_stats"],
+    meta_fields=[],
+)
+
+
+class Trainer:
+    """Epoch-level orchestration mirroring ``trainer`` + ``mainKIT.main``."""
+
+    def __init__(
+        self,
+        bundle_online,
+        bundle_momentum,
+        sampler: PKBatchSampler,
+        img_size=(256, 128),
+        base_lr: float = 3.5e-4,
+        weight_decay: float = 5e-4,
+        tau: float = 0.1,
+        beta: float = 0.999,
+        lambda_proxy: float = 1.0,
+        num_epochs: int = 250,
+        num_proxies: int = 5,
+        mesh=None,
+        compute_dtype=jnp.bfloat16,
+        seed: int = 12,
+        decode_workers: int = 16,
+        extractor_batch: int = 512,
+    ):
+        self.module = bundle_online.module
+        self.sampler = sampler
+        self.img_size = tuple(img_size)
+        self.tau = tau
+        self.beta = beta
+        self.lambda_proxy = lambda_proxy
+        self.num_epochs = num_epochs
+        self.num_proxies = num_proxies
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.compute_dtype = compute_dtype
+        self.decode_workers = decode_workers
+        self._rng = np.random.default_rng(seed)
+        self._key = jax.random.key(seed)
+        self._lr_values = lr_schedule_values(base_lr, num_epochs)
+        self.weight_decay = weight_decay
+
+        self.optimizer = make_optimizer(base_lr, weight_decay)
+        replicated = replicated_sharding(self.mesh)
+        opt_state = self.optimizer.init(bundle_online.variables["params"])
+        self.state = jax.device_put(
+            TrainState(
+                params=bundle_online.variables["params"],
+                batch_stats=bundle_online.variables.get("batch_stats", {}),
+                opt_state=opt_state,
+                momentum_params=bundle_momentum.variables["params"],
+                momentum_batch_stats=bundle_momentum.variables.get("batch_stats", {}),
+            ),
+            replicated,
+        )
+        self._batch_shard = batch_sharding(self.mesh)
+        self._replicated = replicated
+        # shared extractor: reused across epochs for proxy mining + validation
+        self.extractor = FeatureExtractor(
+            bundle_online,
+            img_size=self.img_size,
+            batch_size=extractor_batch,
+            mesh=self.mesh,
+            compute_dtype=compute_dtype,
+            decode_workers=decode_workers,
+        )
+        self._train_step = self._build_train_step()
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        module = self.module
+        tau = self.tau
+        beta = self.beta
+        lambda_proxy = self.lambda_proxy
+        num_epochs = float(self.num_epochs)
+        optimizer = self.optimizer
+        dtype = self.compute_dtype
+        mean = jnp.asarray(IMAGENET_MEAN)
+        std = jnp.asarray(IMAGENET_STD)
+
+        @functools.partial(
+            jax.jit,
+            donate_argnums=(0,),
+            in_shardings=(
+                self._replicated,   # state
+                self._batch_shard,  # images_u8
+                self._batch_shard,  # labels
+                self._batch_shard,  # distortions
+                self._batch_shard,  # mask
+                self._replicated,   # centers
+                self._replicated,   # proxies
+                self._replicated,   # proxy_labels
+                None,               # epoch (scalar)
+                None,               # key
+            ),
+            out_shardings=(self._replicated, self._replicated),
+        )
+        def train_step(
+            state: TrainState,
+            images_u8,
+            labels,
+            distortions,
+            mask,
+            centers,
+            proxies,
+            proxy_labels,
+            epoch,
+            key,
+        ):
+            # device-side augmentation (train transform, train_encodersKIT.py:313-320)
+            key, droppath_key = jax.random.split(key)
+            keys = jax.random.split(key, images_u8.shape[0])
+            images = jax.vmap(
+                lambda im, k: _augment_one(
+                    im, k, 10, 0.4, 0.3, 0.4, (0.05, 0.30), (0.3, 3.3), mean, std
+                )
+            )(images_u8, keys).astype(dtype)
+
+            def loss_fn(params):
+                out, updates = module.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"droppath": droppath_key},  # stochastic depth (ViT)
+                )
+                fvs = out / (jnp.linalg.norm(out, axis=1, keepdims=True) + 1e-9)
+                center_loss, aux = L.weighted_center_loss(
+                    fvs, labels, distortions, centers, epoch, num_epochs, tau=tau, sample_mask=mask
+                )
+                proxy_loss = L.weighted_proxy_loss(
+                    fvs, labels, distortions, proxies, proxy_labels, epoch, num_epochs,
+                    tau=tau, sample_mask=mask,
+                )
+                total = center_loss + lambda_proxy * proxy_loss
+                return total, (updates["batch_stats"], center_loss, proxy_loss, aux)
+
+            (total, (new_stats, center_loss, proxy_loss, aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+
+            # EMA over the full model state, replacing the per-key
+            # state_dict loop (train_encodersKIT.py:218-226)
+            ema = lambda m, o: jax.tree.map(lambda a, b: beta * a + (1.0 - beta) * b, m, o)
+            new_state = TrainState(
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt_state,
+                momentum_params=ema(state.momentum_params, new_params),
+                momentum_batch_stats=ema(state.momentum_batch_stats, new_stats),
+            )
+            metrics = {
+                "loss": total,
+                "center_loss": center_loss,
+                "proxy_loss": proxy_loss,
+                "batch_acc_bal": aux["batch_acc_bal"],
+                "avg_max_prob": aux["avg_max_prob"],
+            }
+            return new_state, metrics
+
+        return train_step
+
+    # ------------------------------------------------------------------
+    def set_epoch_hyperparams(self, epoch: int) -> float:
+        """Per-epoch LR from the 3-phase schedule (``lambda_lr_warmup``,
+        ``mainKIT.py:142-144``). Returns the LR used."""
+        lr = float(self._lr_values[min(epoch - 1, len(self._lr_values) - 1)])
+        self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        self.state.opt_state.hyperparams["weight_decay"] = jnp.asarray(self.weight_decay)
+        return lr
+
+    def mine_proxies(self, verbose: bool = False):
+        """Whole-train-set re-embedding + per-class mining
+        (``train_encodersKIT.py:103-156``)."""
+        self.extractor.update_variables(
+            {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        )
+        feats = self.extractor.extract(self.sampler.table, verbose=verbose)
+        class_idx = np.asarray(
+            [self.sampler.label_to_class[l] for l in self.sampler.labels], np.int32
+        )
+        pset = mine_proxies_and_centers(
+            feats, class_idx, self.sampler.num_classes, self.num_proxies, self._rng
+        )
+        if verbose:
+            print(
+                f"Mean Max Proxies Positive Distances: {pset.mean_max_intra:.3f}, "
+                f"Min Negative Distance: {pset.min_inter:.3f}"
+            )
+        return pset
+
+    def _decode_batch(self, paths) -> np.ndarray:
+        h, w = self.img_size
+        out = np.empty((len(paths), h, w, 3), np.uint8)
+
+        def work(i):
+            out[i] = decode_resize(paths[i], h, w)
+
+        with cf.ThreadPoolExecutor(self.decode_workers) as ex:
+            list(ex.map(work, range(len(paths))))
+        return out
+
+    def train_epoch(self, epoch: int, verbose: bool = False) -> Dict[str, float]:
+        """One pipeline iteration: mine proxies, run all PK batches."""
+        lr = self.set_epoch_hyperparams(epoch)
+        pset = self.mine_proxies(verbose=verbose)
+        centers = jax.device_put(jnp.asarray(pset.centers), self._replicated)
+        proxies = jax.device_put(jnp.asarray(pset.proxies), self._replicated)
+        proxy_labels = jax.device_put(jnp.asarray(pset.proxy_labels), self._replicated)
+
+        totals: Dict[str, float] = {}
+        n_batches = 0
+        t0 = time.time()
+        # prefetch decode of the next batch while the device steps
+        batches = list(self.sampler.epoch())
+        with cf.ThreadPoolExecutor(1) as prefetcher:
+            futures = [prefetcher.submit(self._decode_batch, b.paths) for b in batches[:1]]
+            for i, batch in enumerate(batches):
+                if i + 1 < len(batches):
+                    futures.append(prefetcher.submit(self._decode_batch, batches[i + 1].paths))
+                images_u8 = futures[i].result()
+                # pad to a multiple of the mesh size with masked slots so
+                # the batch shards evenly (padding never reaches a loss)
+                n_dev = self.mesh.devices.size
+                pad = (-len(images_u8)) % n_dev
+                labels, distortions, mask = batch.labels, batch.distortions, batch.mask
+                if pad:
+                    images_u8 = np.concatenate([images_u8, np.repeat(images_u8[:1], pad, 0)])
+                    labels = np.concatenate([labels, np.zeros(pad, np.int32)])
+                    distortions = np.concatenate([distortions, np.zeros(pad, np.int32)])
+                    mask = np.concatenate([mask, np.zeros(pad, bool)])
+                self._key, step_key = jax.random.split(self._key)
+                self.state, metrics = self._train_step(
+                    self.state,
+                    jax.device_put(images_u8, self._batch_shard),
+                    jax.device_put(labels, self._batch_shard),
+                    jax.device_put(distortions, self._batch_shard),
+                    jax.device_put(mask, self._batch_shard),
+                    centers,
+                    proxies,
+                    proxy_labels,
+                    jnp.float32(epoch),
+                    step_key,
+                )
+                n_batches += 1
+                for k, v in metrics.items():
+                    totals[k] = totals.get(k, 0.0) + float(v)
+
+        means = {k: v / max(n_batches, 1) for k, v in totals.items()}
+        means["lr"] = lr
+        means["epoch_seconds"] = time.time() - t0
+        means["proxy_min_inter"] = pset.min_inter
+        means["proxy_mean_max_intra"] = pset.mean_max_intra
+        if verbose:
+            print(
+                f"Mean Center Loss: {means.get('center_loss', 0):.7f}, "
+                f"Mean Proxy Loss: {means.get('proxy_loss', 0):.7f}"
+            )
+            print(f"Mean Final Loss: {means.get('loss', 0):.7f} ({n_batches} batches, lr={lr:g})")
+        return means
+
+    # convenience accessors mirroring (online, momentum) model pairs
+    def online_variables(self):
+        return jax.device_get(
+            {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        )
+
+    def momentum_variables(self):
+        return jax.device_get(
+            {"params": self.state.momentum_params, "batch_stats": self.state.momentum_batch_stats}
+        )

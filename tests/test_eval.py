@@ -1,0 +1,129 @@
+"""Feature extraction (sharded over the CPU mesh), validators, and fusion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from daliid_tpu.data import make_synthetic_dataset
+from daliid_tpu.eval import (
+    BriarValidator,
+    FeatureExtractor,
+    Validator,
+    average_distmats,
+    concat_features_distmat,
+    get_validator,
+    magnitude_weighted_distmat,
+    msmt17_balanced_accuracy,
+)
+from daliid_tpu.eval.fusion import magnitude_weights, roc_arrays
+from daliid_tpu.models.factory import ModelBundle
+from daliid_tpu.models.vit import ViTReID
+
+IMG = (32, 16)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("evaldata")
+    return make_synthetic_dataset(
+        str(root), num_ids=6, imgs_per_id_train=4, imgs_per_id_test=3,
+        height=IMG[0], width=IMG[1], with_turbulence=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_bundle():
+    m = ViTReID(img_size=IMG, patch_size=8, patch_stride=8, embed_dim=64, depth=2, num_heads=4,
+                drop_path_rate=0.0)
+    v = m.init({"params": jax.random.key(0)}, jnp.zeros((1, *IMG, 3)), train=False)
+    return ModelBundle(module=m, variables=v, feature_dim=64, name="tiny_vit")
+
+
+def test_extract_features_sharded(synth, tiny_bundle):
+    splits, _ = synth
+    ex = FeatureExtractor(tiny_bundle, img_size=IMG, batch_size=16)
+    fvs = ex.extract(splits["gallery"])
+    assert fvs.shape == (len(splits["gallery"]), 64)
+    assert np.isfinite(fvs).all()
+    # padded tail batch must not corrupt results: re-extract a subset
+    sub = ex.extract(splits["gallery"][np.arange(5)])
+    np.testing.assert_allclose(sub, fvs[:5], rtol=2e-4, atol=2e-5)
+
+
+def test_extract_turbulence_variant(synth, tiny_bundle):
+    splits, turb_dir = synth
+    ex = FeatureExtractor(tiny_bundle, img_size=IMG, batch_size=16)
+    clean = ex.extract(splits["train"])
+    turb = ex.extract(splits["train"], turbulence_dir=turb_dir, turb_strength=5)
+    assert turb.shape == clean.shape
+    assert not np.allclose(turb, clean)  # distorted copies differ
+
+
+def test_extract_decode_error_propagates(tiny_bundle):
+    ex = FeatureExtractor(tiny_bundle, img_size=IMG, batch_size=16)
+    with pytest.raises(FileNotFoundError):
+        ex.extract(["/nonexistent/image.jpg"])
+
+
+def test_validator_end_to_end(synth, tiny_bundle):
+    splits, _ = synth
+    v = Validator(img_size=IMG, batch_size=16, max_rank=10)
+    cmc, mAP, distmat = v.validate(splits["query"], splits["gallery"], tiny_bundle, verbose=False)
+    assert distmat.shape == (len(splits["query"]), len(splits["gallery"]))
+    assert 0.0 <= mAP <= 1.0
+    assert np.all(np.diff(cmc) >= -1e-7)  # CMC curve is monotone
+
+
+def test_get_validator_dispatch():
+    assert isinstance(get_validator("BRIAR"), BriarValidator)
+    assert type(get_validator("Market")) is Validator
+
+
+def test_briar_rank_hand_case(synth):
+    splits, _ = synth
+    q = splits["query"][np.arange(2)]
+    g = splits["gallery"]
+    # perfect distmat: distance 0 to matching pid, 1 elsewhere
+    distmat = (q.pids[:, None] != g.pids[None, :]).astype(np.float32)
+    cmc, mAP = BriarValidator().rank(distmat, q, g)
+    assert cmc[0] == 1.0 and mAP == 0.0
+
+
+def test_msmt17_balanced_accuracy(synth, tiny_bundle):
+    splits, _ = synth
+    acc = msmt17_balanced_accuracy(
+        splits["train"], splits["query"], tiny_bundle, img_size=IMG, batch_size=16, verbose=False
+    )
+    assert 0.0 <= acc <= 1.0
+
+
+def test_fusion_math(rng):
+    Q, G, D = 4, 6, 8
+    qa, qb = rng.normal(size=(Q, D)), rng.normal(size=(Q, D))
+    ga, gb = rng.normal(size=(G, D)), rng.normal(size=(G, D))
+    da = np.asarray(concat_features_distmat(qa, qa, ga, ga))
+    assert da.shape == (Q, G)
+
+    d1 = rng.random((Q, G)).astype(np.float32)
+    d2 = rng.random((Q, G)).astype(np.float32)
+    avg = np.asarray(average_distmats(d1, d2))
+    np.testing.assert_allclose(avg, (d1 + d2) / 2, rtol=1e-6)
+
+    qm1, gm1 = rng.random((Q, 1)) + 0.5, rng.random((G, 1)) + 0.5
+    qm2, gm2 = rng.random((Q, 1)) + 0.5, rng.random((G, 1)) + 0.5
+    fused = np.asarray(magnitude_weighted_distmat(d1, d2, qm1, gm1, qm2, gm2))
+    i, j = 2, 3
+    w1 = max(qm1[i, 0], gm1[j, 0])
+    w2 = max(qm2[i, 0], gm2[j, 0])
+    assert fused[i, j] == pytest.approx((w1 * d1[i, j] + w2 * d2[i, j]) / (w1 + w2), rel=1e-5)
+
+
+def test_magnitude_weights_and_roc(rng):
+    fvs = rng.normal(size=(5, 8))
+    mags = magnitude_weights(fvs)
+    np.testing.assert_allclose(mags[:, 0], np.linalg.norm(fvs, axis=1), rtol=1e-6)
+
+    labels, scores = roc_arrays(np.zeros((2, 3)), np.array([1, 2]), np.array([1, 2, 3]))
+    assert labels.tolist() == [1, 0, 0, 0, 1, 0]
+    assert np.allclose(scores, 1.0)

@@ -1,0 +1,159 @@
+"""Backbone models: shapes, BN train/eval semantics, torch-port parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from daliid_tpu.models import build_model_pair, get_model
+from daliid_tpu.models.resnet import ResNet50ReID
+from daliid_tpu.models.torch_port import (
+    resnet50_reid_from_torch,
+    resnet50_reid_to_torch_keys,
+    strip_module_prefix,
+)
+from daliid_tpu.models.vit import ViTReID, resize_pos_embed
+
+
+IMG = (64, 32)  # small spatial size for fast tests
+
+
+def test_resnet50_shapes():
+    bundle = get_model("resnet50", jax.random.key(0), img_size=IMG)
+    x = jnp.zeros((2, *IMG, 3))
+    out = bundle.apply_eval(x)
+    assert out.shape == (2, 2048)
+    # last-stride-1: with input 64x32 the final feature map is 4x2 (not 2x1)
+
+
+def test_resnet50_last_stride():
+    # Capture the trunk output spatial dims via intermediates: feature map
+    # should be input/16 (not /32) thanks to last-stride-1 (Encoders.py:321-322).
+    m = ResNet50ReID()
+    v = m.init({"params": jax.random.key(0)}, jnp.zeros((1, *IMG, 3)), train=False)
+    _, inter = m.apply(v, jnp.zeros((1, *IMG, 3)), train=False, capture_intermediates=True)
+    feats = inter["intermediates"]["layer4_2"]["__call__"][0]
+    assert feats.shape[1:3] == (IMG[0] // 16, IMG[1] // 16)
+
+
+def test_resnet50_pooling_modes(rng):
+    x = jnp.asarray(rng.normal(size=(2, *IMG, 3)).astype(np.float32))
+    out = {}
+    for feature in ("gap", "gmp", "both"):
+        m = ResNet50ReID(feature=feature)
+        v = m.init({"params": jax.random.key(1)}, x, train=False)
+        out[feature] = m.apply(v, x, train=False)
+    # with identical weights and fresh BN stats (mean 0, var 1), both = gap+gmp
+    np.testing.assert_allclose(
+        np.asarray(out["both"]), np.asarray(out["gap"] + out["gmp"]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_model_pair_synced():
+    online, momentum = build_model_pair("resnet50", jax.random.key(0), img_size=IMG)
+    leaves_o = jax.tree.leaves(online.variables)
+    leaves_m = jax.tree.leaves(momentum.variables)
+    for a, b in zip(leaves_o, leaves_m):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batchnorm_train_updates_stats(rng):
+    m = ResNet50ReID()
+    x = jnp.asarray(rng.normal(size=(4, *IMG, 3)).astype(np.float32))
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    _, updates = m.apply(v, x, train=True, mutable=["batch_stats"])
+    before = v["batch_stats"]["bn1"]["mean"]
+    after = updates["batch_stats"]["bn1"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_vit_shapes_and_tokens():
+    m = ViTReID(img_size=IMG, patch_size=16, patch_stride=16, embed_dim=64, depth=2, num_heads=4)
+    x = jnp.zeros((2, *IMG, 3))
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (2, 64)
+    assert m.grid_hw == (4, 2)
+    # overlapping stride → more tokens
+    m2 = ViTReID(img_size=IMG, patch_size=16, patch_stride=12, embed_dim=64, depth=1, num_heads=4)
+    assert m2.grid_hw[0] > m.grid_hw[0]
+
+
+def test_vit_sie_changes_output(rng):
+    m = ViTReID(img_size=IMG, patch_size=16, patch_stride=16, embed_dim=64, depth=1,
+                num_heads=4, sie_cameras=4)
+    x = jnp.asarray(rng.normal(size=(2, *IMG, 3)).astype(np.float32))
+    v = m.init({"params": jax.random.key(0)}, x, camera_ids=jnp.zeros(2, jnp.int32), train=False)
+    out0 = m.apply(v, x, camera_ids=jnp.asarray([0, 0]), train=False)
+    out1 = m.apply(v, x, camera_ids=jnp.asarray([1, 2]), train=False)
+    assert not np.allclose(np.asarray(out0), np.asarray(out1))
+
+
+def test_resize_pos_embed():
+    pe = np.random.default_rng(0).normal(size=(1, 1 + 4 * 2, 8)).astype(np.float32)
+    out = resize_pos_embed(pe, new_hw=(8, 4), old_hw=(4, 2))
+    assert out.shape == (1, 1 + 32, 8)
+    np.testing.assert_allclose(out[:, 0], pe[:, 0])  # cls token untouched
+
+
+def test_torch_port_roundtrip():
+    # flax → torch-keys → flax must be the identity (validates key mapping
+    # completeness and the OIHW↔HWIO transposes).
+    bundle = get_model("resnet50", jax.random.key(0), img_size=IMG)
+    torch_sd = resnet50_reid_to_torch_keys(bundle.variables)
+    assert "layer4.0.downsample.0.weight" in torch_sd
+    assert torch_sd["conv1.weight"].shape == (64, 3, 7, 7)
+    back = resnet50_reid_from_torch(torch_sd)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(
+        {"params": bundle.variables["params"], "batch_stats": bundle.variables["batch_stats"]}
+    )[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert len(flat_a) == len(flat_b)
+    b_map = {jax.tree_util.keystr(k): v for k, v in flat_b}
+    for k, v in flat_a:
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(b_map[jax.tree_util.keystr(k)]))
+
+
+def test_strip_module_prefix():
+    sd = {"module.conv1.weight": 1, "bn1.bias": 2}
+    out = strip_module_prefix(sd)
+    assert set(out) == {"conv1.weight", "bn1.bias"}
+
+
+def test_torch_conv_bn_parity(rng):
+    """Op-level parity: torch Conv2d+BatchNorm2d (eval) vs flax Conv+BatchNorm
+    with ported weights — validates the layout/mapping conventions used by
+    the full converter."""
+    torch = pytest.importorskip("torch")
+    tconv = torch.nn.Conv2d(3, 8, 3, stride=2, padding=1, bias=False)
+    tbn = torch.nn.BatchNorm2d(8)
+    tbn.running_mean.data = torch.randn(8)
+    tbn.running_var.data = torch.rand(8) + 0.5
+    tbn.weight.data = torch.randn(8)
+    tbn.bias.data = torch.randn(8)
+    tconv.eval(), tbn.eval()
+
+    x = rng.normal(size=(2, 3, 16, 12)).astype(np.float32)  # NCHW for torch
+    with torch.no_grad():
+        t_out = tbn(tconv(torch.from_numpy(x))).numpy()
+
+    from flax import linen as nn
+
+    class Mini(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(8, (3, 3), strides=(2, 2), padding=1, use_bias=False, name="conv")(x)
+            return nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn")(x)
+
+    variables = {
+        "params": {
+            "conv": {"kernel": tconv.weight.detach().numpy().transpose(2, 3, 1, 0)},
+            "bn": {"scale": tbn.weight.detach().numpy(), "bias": tbn.bias.detach().numpy()},
+        },
+        "batch_stats": {
+            "bn": {"mean": tbn.running_mean.numpy(), "var": tbn.running_var.numpy()},
+        },
+    }
+    f_out = Mini().apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(f_out).transpose(0, 3, 1, 2), t_out, atol=2e-5)

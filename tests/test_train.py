@@ -1,0 +1,165 @@
+"""Training engine: sampler shapes, proxy mining, LR schedule, full steps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from daliid_tpu.data import make_synthetic_dataset
+from daliid_tpu.models.factory import ModelBundle, build_model_pair
+from daliid_tpu.models.vit import ViTReID
+from daliid_tpu.train import (
+    PKBatchSampler,
+    Trainer,
+    lr_schedule_values,
+    mine_proxies_and_centers,
+    select_proxies_farthest_point,
+)
+
+IMG = (32, 16)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("traindata")
+    return make_synthetic_dataset(
+        str(root), num_ids=6, imgs_per_id_train=4, imgs_per_id_test=2,
+        height=IMG[0], width=IMG[1], with_turbulence=True,
+    )
+
+
+def _tiny_pair():
+    m = ViTReID(img_size=IMG, patch_size=8, patch_stride=8, embed_dim=32, depth=1, num_heads=2,
+                drop_path_rate=0.0)
+    v = m.init({"params": jax.random.key(0)}, jnp.zeros((1, *IMG, 3)), train=False)
+    online = ModelBundle(module=m, variables=v, feature_dim=32, name="tiny")
+    momentum = ModelBundle(module=m, variables=jax.tree.map(jnp.copy, v), feature_dim=32, name="tiny")
+    return online, momentum
+
+
+def test_lr_schedule_three_phases():
+    vals = lr_schedule_values(3.5e-4, 250)
+    assert vals[0] == vals[99] == pytest.approx(3.5e-4)
+    assert vals[100] == vals[199] == pytest.approx(3.5e-5)
+    assert vals[200] == vals[249] == pytest.approx(3.5e-6)
+    assert len(lr_schedule_values(1e-3, 10)) == 10
+
+
+def test_sampler_paired_shapes(synth):
+    splits, turb = synth
+    t = splits["train"]
+    s = PKBatchSampler(t, t.pids, P=3, K=2, kind_of_transform=1, turbulence_dir=turb, seed=0)
+    batches = list(s.epoch())
+    assert len(batches) == s.batches_per_epoch() == 6 // 3
+    b = batches[0]
+    assert len(b) == 3 * 2 * 2 == s.batch_size
+    # pairs adjacent: distortions alternate [0, s, 0, s, ...] with s in 1..5
+    assert np.all(b.distortions[0::2] == 0)
+    assert np.all((b.distortions[1::2] >= 1) & (b.distortions[1::2] <= 5))
+    # pair labels identical
+    np.testing.assert_array_equal(b.labels[0::2], b.labels[1::2])
+    # clean path and turbulence companion share the stem
+    assert "turbstrength" in b.paths[1] and "turbstrength" not in b.paths[0]
+
+
+def test_sampler_pads_small_classes(synth):
+    splits, turb = synth
+    t = splits["train"]
+    s = PKBatchSampler(t, t.pids, P=2, K=10, kind_of_transform=0, seed=0)
+    b = next(iter(s.epoch()))
+    assert len(b) == 2 * 10
+    # only 4 images per id → 6 padding slots per class
+    assert b.mask.sum() == 2 * 4
+    # padding slots reuse valid paths (decodable) but are masked
+    assert all(p for p in b.paths)
+
+
+def test_sampler_requires_turbulence_dir(synth):
+    splits, _ = synth
+    t = splits["train"]
+    with pytest.raises(ValueError):
+        PKBatchSampler(t, t.pids, kind_of_transform=1, turbulence_dir=None)
+
+
+def test_farthest_point_selection_spreads(rng):
+    # two tight clusters → 2 proxies must hit both clusters
+    a = rng.normal(size=(10, 4)) * 0.01
+    b = rng.normal(size=(10, 4)) * 0.01 + 10.0
+    X = np.concatenate([a, b]).astype(np.float32)
+    idx, max_d = select_proxies_farthest_point(X, 2, rng)
+    assert (idx[0] < 10) != (idx[1] < 10)
+    assert max_d > 10.0
+
+
+def test_mine_proxies_and_centers_shapes(rng):
+    feats = rng.normal(size=(30, 8)).astype(np.float32)
+    cls = np.repeat(np.arange(5), 6).astype(np.int32)
+    pset = mine_proxies_and_centers(feats, cls, num_classes=5, num_proxies=4, rng=rng)
+    assert pset.centers.shape == (5, 8)
+    assert pset.proxies.shape == (20, 8)
+    np.testing.assert_allclose(np.linalg.norm(pset.centers, axis=1), 1.0, rtol=1e-5)
+    assert pset.min_inter > 0.0
+    assert (pset.proxy_labels >= 0).all()  # all classes have ≥ num_proxies... padding only when class smaller
+
+
+def test_trainer_two_epochs_updates_and_ema(synth):
+    splits, turb = synth
+    t = splits["train"]
+    online, momentum = _tiny_pair()
+    sampler = PKBatchSampler(t, t.pids, P=3, K=2, kind_of_transform=1, turbulence_dir=turb, seed=0)
+    trainer = Trainer(
+        online, momentum, sampler, img_size=IMG, num_epochs=4, base_lr=1e-3,
+        compute_dtype=jnp.float32, extractor_batch=16, beta=0.9,
+    )
+    p_before = jax.device_get(trainer.state.params)
+    m_before = jax.device_get(trainer.state.momentum_params)
+    metrics1 = trainer.train_epoch(1)
+    metrics2 = trainer.train_epoch(2)
+    assert np.isfinite(metrics1["loss"]) and np.isfinite(metrics2["loss"])
+    p_after = jax.device_get(trainer.state.params)
+    m_after = jax.device_get(trainer.state.momentum_params)
+
+    def changed(a, b):
+        return any(
+            not np.allclose(x, y) for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    assert changed(p_before, p_after)      # online model trained
+    assert changed(m_before, m_after)      # EMA moved
+    # EMA trails the online model: momentum != online after training
+    assert changed(m_after, p_after)
+
+
+def test_trainer_ema_beta_zero_tracks_online(synth):
+    # beta=0 ⇒ momentum := online after every step (exact EMA semantics)
+    splits, turb = synth
+    t = splits["train"]
+    online, momentum = _tiny_pair()
+    sampler = PKBatchSampler(t, t.pids, P=2, K=2, kind_of_transform=0, seed=0)
+    trainer = Trainer(
+        online, momentum, sampler, img_size=IMG, num_epochs=4, base_lr=1e-3,
+        compute_dtype=jnp.float32, extractor_batch=16, beta=0.0,
+    )
+    trainer.train_epoch(1)
+    for p, m in zip(
+        jax.tree.leaves(jax.device_get(trainer.state.params)),
+        jax.tree.leaves(jax.device_get(trainer.state.momentum_params)),
+    ):
+        np.testing.assert_allclose(p, m, rtol=1e-6)
+
+
+def test_trainer_lr_applied(synth):
+    splits, turb = synth
+    t = splits["train"]
+    online, momentum = _tiny_pair()
+    sampler = PKBatchSampler(t, t.pids, P=2, K=2, kind_of_transform=0, seed=0)
+    trainer = Trainer(
+        online, momentum, sampler, img_size=IMG, num_epochs=250, base_lr=1e-3,
+        compute_dtype=jnp.float32, extractor_batch=16,
+    )
+    lr1 = trainer.set_epoch_hyperparams(1)
+    lr150 = trainer.set_epoch_hyperparams(150)
+    lr249 = trainer.set_epoch_hyperparams(249)
+    assert lr1 == pytest.approx(1e-3)
+    assert lr150 == pytest.approx(1e-4)
+    assert lr249 == pytest.approx(1e-5)
