@@ -16,7 +16,11 @@ from typing import Any, Callable, Dict
 import jax
 import jax.numpy as jnp
 
-from daliid_tpu.models.resnet import ResNet50ReID
+from daliid_tpu.models.densenet import DenseNet121ReID
+from daliid_tpu.models.efficientnet import EfficientNetB0ReID
+from daliid_tpu.models.inception import InceptionV3ReID
+from daliid_tpu.models.osnet import OSNetReID
+from daliid_tpu.models.resnet import DualResNet50ReID, ResNet50ReID
 from daliid_tpu.models.vit import ViTReID, transreid_base, vit_base_reid, vit_small_reid
 
 
@@ -53,6 +57,54 @@ def _resnet50(dtype=jnp.float32, feature="both", **kw):
 @register_model("resnet50_gap")
 def _resnet50_gap(dtype=jnp.float32, **kw):
     return ResNet50ReID(dtype=dtype, feature="gap"), 2048
+
+
+@register_model("resnet50Seg")
+def _resnet50_seg(dtype=jnp.float32, **kw):
+    """Seg-mask attention variant (Encoders.py:50-71, 356-401)."""
+    return ResNet50ReID(dtype=dtype, seg_attention=True), 2048
+
+
+@register_model("resnet50IBN")
+def _resnet50_ibn(dtype=jnp.float32, **kw):
+    """IBN-Net-a ResNet-50 (Encoders.py:73-97, 462-531)."""
+    return ResNet50ReID(dtype=dtype, ibn=True), 2048
+
+
+@register_model("resnet101IBN")
+def _resnet101_ibn(dtype=jnp.float32, **kw):
+    """IBN-Net-a ResNet-101 (Encoders.py:99-123, 534-603)."""
+    return ResNet50ReID(dtype=dtype, ibn=True, stage_sizes=(3, 4, 23, 3)), 2048
+
+
+@register_model("dualresnet50")
+def _dual_resnet50(dtype=jnp.float32, **kw):
+    """Two-head (id, bias) ResNet-50 (Encoders.py:404-459)."""
+    return DualResNet50ReID(dtype=dtype), 4096
+
+
+@register_model("osnet")
+def _osnet(dtype=jnp.float32, feature="both", **kw):
+    """OSNet-x1.0 (Encoders.py:125-146, 642-684)."""
+    return OSNetReID(dtype=dtype, feature=feature), 512
+
+
+@register_model("densenet121")
+def _densenet121(dtype=jnp.float32, num_classes=0, **kw):
+    """DenseNet-121 (Encoders.py:148-169, 606-639)."""
+    return DenseNet121ReID(dtype=dtype, num_classes=num_classes), 2048
+
+
+@register_model("efficientnetB0")
+def _efficientnet_b0(dtype=jnp.float32, feature="both", **kw):
+    """EfficientNet-B0 (Encoders.py:218-239, 831-864)."""
+    return EfficientNetB0ReID(dtype=dtype, feature=feature), 1280
+
+
+@register_model("inceptionV3")
+def _inception_v3(dtype=jnp.float32, feature="both", **kw):
+    """Inception-V3 (Encoders.py:171-192, 686-763)."""
+    return InceptionV3ReID(dtype=dtype, feature=feature), 2048
 
 
 @register_model("vit")

@@ -26,13 +26,33 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class IBN(nn.Module):
+    """Instance-Batch Norm: InstanceNorm on the first half of the channels,
+    BatchNorm on the second half (IBN-Net; used by the reference's
+    ``resnet50IBN``/``resnet101IBN`` torch.hub backbones,
+    ``Encoders.py:73-123``)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        half = x.shape[-1] // 2
+        a = nn.InstanceNorm(epsilon=1e-5, dtype=self.dtype, name="instance")(x[..., :half])
+        b = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="batch"
+        )(x[..., half:])
+        return jnp.concatenate([a, b], axis=-1)
+
+
 class Bottleneck(nn.Module):
     """torchvision-v1.5 bottleneck: 1x1 → 3x3(stride) → 1x1 with projection
-    shortcut on shape change."""
+    shortcut on shape change. ``ibn=True`` swaps bn1 for an IBN block
+    (IBN-Net 'a' variant)."""
 
     planes: int
     stride: int = 1
     expansion: int = 4
+    ibn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -43,7 +63,10 @@ class Bottleneck(nn.Module):
         out_ch = self.planes * self.expansion
         residual = x
         y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = norm("bn1")(y)
+        if self.ibn:
+            y = IBN(dtype=self.dtype, name="bn1_ibn")(y, train=train)
+        else:
+            y = norm("bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride), padding=1,
@@ -62,35 +85,59 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+def _resnet_trunk(mod, x, train: bool):
+    """Shared ResNet trunk (stem without ReLU + 4 bottleneck stages).
+
+    A plain function executed inside the caller's compact scope — submodules
+    bind to the calling module, so ResNet50ReID and DualResNet50ReID share
+    one trunk definition (and one checkpoint key scheme).
+    """
+    x = x.astype(mod.dtype)
+    x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False, dtype=mod.dtype, name="conv1")(x)
+    x = nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=mod.dtype, name="bn1"
+    )(x)
+    # NOTE: no stem ReLU — matches the reference forward (Encoders.py:332-335).
+    x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+    planes = (64, 128, 256, 512)
+    strides = (1, 2, 2, mod.last_stride)
+    ibn = getattr(mod, "ibn", False)
+    for stage, (num_blocks, p, s) in enumerate(zip(mod.stage_sizes, planes, strides), start=1):
+        for block in range(num_blocks):
+            x = Bottleneck(
+                planes=p,
+                stride=s if block == 0 else 1,
+                ibn=ibn and stage < 4,  # IBN-Net 'a': no IBN in the last stage
+                dtype=mod.dtype,
+                name=f"layer{stage}_{block}",
+            )(x, train=train)
+    return x
+
+
 class ResNet50ReID(nn.Module):
-    """ResNet-50 trunk + ReID head. ``__call__`` → (B, 2048) embedding."""
+    """ResNet trunk + ReID head. ``__call__`` → (B, 2048) embedding.
+
+    ``ibn=True`` gives the IBN-Net 'a' trunk (IBN in stages 1-3) matching
+    the reference's ``ResNet50IBNReID``/``ResNet101IBNReID`` wrappers
+    (``Encoders.py:462-603``, identical forward to the plain wrapper).
+    ``seg_attention`` enables the optional segmentation-mask multiply before
+    pooling (``ResNet50SegReID``, ``Encoders.py:379-401``).
+    """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     feature: str = "both"  # 'gap' | 'gmp' | 'both' (evaluateCleanATModels.py:296-388)
     last_stride: int = 1   # Encoders.py:321-322
+    ibn: bool = False
+    seg_attention: bool = False
     dtype: jnp.dtype = jnp.float32
     feature_dim: int = 2048
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn1"
-        )(x)
-        # NOTE: no stem ReLU — matches the reference forward (Encoders.py:332-335).
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-
-        planes = (64, 128, 256, 512)
-        strides = (1, 2, 2, self.last_stride)
-        for stage, (num_blocks, p, s) in enumerate(zip(self.stage_sizes, planes, strides), start=1):
-            for block in range(num_blocks):
-                x = Bottleneck(
-                    planes=p,
-                    stride=s if block == 0 else 1,
-                    dtype=self.dtype,
-                    name=f"layer{stage}_{block}",
-                )(x, train=train)
+    def __call__(self, x, seg_mask=None, train: bool = False):
+        x = _resnet_trunk(self, x, train)
+        if self.seg_attention and seg_mask is not None:
+            x = x * seg_mask.astype(x.dtype)  # Encoders.py:391-392
 
         gap = jnp.mean(x, axis=(1, 2))
         gmp = jnp.max(x, axis=(1, 2))
@@ -102,8 +149,30 @@ class ResNet50ReID(nn.Module):
             pooled = gap + gmp  # Encoders.py:341-345
 
         pooled = pooled.astype(jnp.float32)
-        out = nn.BatchNorm(
+        return nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name="last_bn",
         )(pooled)
-        return out
+
+
+class DualResNet50ReID(nn.Module):
+    """Two-head ResNet-50: a shared trunk with separate identity / bias
+    BN-neck heads, returning (concat, id_fv, bias_fv) — the intended
+    behavior of the reference's ``DualResNet50ReID``
+    (``Encoders.py:404-459``; its ``super`` call is buggy upstream)."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    last_stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+    feature_dim: int = 4096
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = _resnet_trunk(self, x, train)
+        pooled = (jnp.mean(feats, axis=(1, 2)) + jnp.max(feats, axis=(1, 2))).astype(jnp.float32)
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name=name
+        )
+        id_fv = bn("id_bn")(pooled)
+        bias_fv = bn("bias_bn")(pooled)
+        return jnp.concatenate([id_fv, bias_fv], axis=1), id_fv, bias_fv

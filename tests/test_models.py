@@ -96,6 +96,44 @@ def test_resize_pos_embed():
     np.testing.assert_allclose(out[:, 0], pe[:, 0])  # cls token untouched
 
 
+@pytest.mark.parametrize(
+    "name,dim",
+    [
+        ("osnet", 512),
+        ("densenet121", 2048),
+        ("resnet50IBN", 2048),
+        ("dualresnet50", 4096),
+        ("efficientnetB0", 1280),
+    ],
+)
+def test_backbone_zoo_shapes(name, dim):
+    bundle = get_model(name, jax.random.key(0), img_size=IMG)
+    out = bundle.apply_eval(jnp.zeros((2, *IMG, 3)))
+    if isinstance(out, tuple):
+        out = out[0]
+    assert out.shape == (2, dim)
+    assert bundle.feature_dim == dim
+
+
+def test_inception_v3_shapes():
+    # inception needs a bigger input (stem downsamples hard)
+    bundle = get_model("inceptionV3", jax.random.key(0), img_size=(128, 128))
+    out = bundle.apply_eval(jnp.zeros((2, 128, 128, 3)))
+    assert out.shape == (2, 2048)
+
+
+def test_resnet50_seg_attention_changes_output(rng):
+    from daliid_tpu.models.resnet import ResNet50ReID
+
+    m = ResNet50ReID(seg_attention=True)
+    x = jnp.asarray(rng.normal(size=(1, *IMG, 3)).astype(np.float32))
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    base = m.apply(v, x, train=False)
+    mask = jnp.zeros((1, IMG[0] // 16, IMG[1] // 16, 1)).at[:, :2].set(1.0)
+    masked = m.apply(v, x, seg_mask=mask, train=False)
+    assert not np.allclose(np.asarray(base), np.asarray(masked))
+
+
 def test_torch_port_roundtrip():
     # flax → torch-keys → flax must be the identity (validates key mapping
     # completeness and the OIHW↔HWIO transposes).
