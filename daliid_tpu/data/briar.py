@@ -1,0 +1,73 @@
+"""BRIAR-style npy-manifest ingest with probe filtering.
+
+Re-implements the reference's BRIAR path (``Person-ReID/evaluate.py:77-128``):
+
+- train/query/gallery manifests are ``.npy`` object arrays of rows
+  ``[path, id_name, camid, distance_tag, ...]`` where identity names carry a
+  one-character prefix that is stripped (``evaluate.py:82-89``);
+- probes whose distance tag contains ``"range"`` (close-range capture) are
+  dropped (``evaluate.py:91-101``);
+- probe identities absent from the gallery are dropped
+  (``evaluate.py:104-115``);
+- train identities are densely renumbered (``evaluate.py:119-126``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from daliid_tpu.data.registry import ReidTable
+
+
+def _strip_id_prefix(ids: np.ndarray) -> np.ndarray:
+    return np.array([str(i)[1:] for i in ids])
+
+
+def _to_table(rows: np.ndarray, kind: str = "person") -> ReidTable:
+    ids = rows[:, 1]
+    # ids may be non-numeric after prefix strip; map to dense ints
+    uniq, inv = np.unique(ids, return_inverse=True)
+    cams = rows[:, 2]
+    cam_uniq, cam_inv = np.unique(cams, return_inverse=True)
+    return ReidTable(
+        paths=rows[:, 0],
+        pids=inv.astype(np.int64),
+        camids=cam_inv.astype(np.int64),
+        kinds=np.array([kind] * len(rows), dtype=object),
+        name="BRIAR",
+    )
+
+
+def load_briar_manifests(
+    train_npy: str, queries_npy: str, gallery_npy: str
+) -> Tuple[ReidTable, ReidTable, ReidTable]:
+    """→ (train, query, gallery) tables with the reference's filtering."""
+    train = np.load(train_npy, allow_pickle=True).astype(object)
+    queries = np.load(queries_npy, allow_pickle=True).astype(object)
+    gallery = np.load(gallery_npy, allow_pickle=True).astype(object)
+
+    for arr in (train, queries, gallery):
+        arr[:, 1] = _strip_id_prefix(arr[:, 1])
+
+    # drop close-range probes (evaluate.py:91-101)
+    keep = np.array(["range" not in str(tag) for tag in queries[:, 3]])
+    queries = queries[keep]
+
+    # drop probe-only identities (evaluate.py:104-115)
+    probe_only = np.setdiff1d(queries[:, 1], gallery[:, 1])
+    keep = ~np.isin(queries[:, 1], probe_only)
+    queries = queries[keep]
+
+    # the query/gallery id spaces must share one dense mapping
+    qg_ids = np.unique(np.concatenate([queries[:, 1], gallery[:, 1]]))
+    id_map = {v: i for i, v in enumerate(qg_ids)}
+
+    def table_with_shared_ids(rows):
+        t = _to_table(rows)
+        t.pids = np.array([id_map[i] for i in rows[:, 1]], np.int64)
+        return t
+
+    train_t = _to_table(train)  # train ids densely renumbered independently
+    return train_t, table_with_shared_ids(queries), table_with_shared_ids(gallery)

@@ -70,7 +70,9 @@ class FeatureExtractor:
         def forward(variables, images_u8):
             x = normalize_images(images_u8, dtype=compute_dtype)
             feats = module.apply(variables, x, train=False)
-            return feats.astype(jnp.float32)
+            # models may return a tuple of heads (multipart / dual / multiview,
+            # getFeatures.py:110-241) — cast every leaf
+            return jax.tree.map(lambda f: f.astype(jnp.float32), feats)
 
         self._forward = forward
 
@@ -133,6 +135,7 @@ class FeatureExtractor:
         thread.start()
 
         outputs = []
+        is_multi = False
         while True:
             item = batch_q.get()
             if item is None:
@@ -143,10 +146,25 @@ class FeatureExtractor:
             _, imgs, valid = item
             device_batch = jax.device_put(imgs, self._batch_shard)
             feats = self._forward(self._variables, device_batch)
-            outputs.append(np.asarray(feats[:valid]))
+            if isinstance(feats, tuple):
+                is_multi = True
+                outputs.append(tuple(np.asarray(f[:valid]) for f in feats))
+            else:
+                outputs.append(np.asarray(feats[:valid]))
         thread.join()
 
-        result = np.concatenate(outputs, axis=0) if outputs else np.zeros((0, self.bundle.feature_dim))
+        if is_multi:
+            # multi-head models (multipart / dual / multiview,
+            # getFeatures.py:110-241): one array per head
+            result = tuple(
+                np.concatenate([o[h] for o in outputs], axis=0) for h in range(len(outputs[0]))
+            )
+        else:
+            result = (
+                np.concatenate(outputs, axis=0)
+                if outputs
+                else np.zeros((0, self.bundle.feature_dim))
+            )
         if verbose:
             dt = time.time() - t0
             print(f"Features extracted in {dt:.2f} seconds ({n / max(dt, 1e-9):.0f} img/s)")

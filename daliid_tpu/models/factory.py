@@ -145,6 +145,30 @@ def get_model(name: str, rng: jax.Array, img_size=(256, 128), dtype=jnp.float32,
     return ModelBundle(module=module, variables=variables, feature_dim=feature_dim, name=name)
 
 
+@register_model("multipart_resnet50")
+def _multipart_resnet50(dtype=jnp.float32, **kw):
+    """Horizontal-stripe part heads (getFeatures.py:110-156 consumer;
+    mainKIT.py:211-313 variant)."""
+    from daliid_tpu.models.resnet import MultiPartResNet50ReID
+
+    return MultiPartResNet50ReID(dtype=dtype), 2048
+
+
+def build_ensembles(
+    rng: jax.Array,
+    names=("resnet50", "osnet", "densenet121"),
+    img_size=(256, 128),
+    dtype=jnp.float32,
+):
+    """Three-backbone ensemble: a synced (online, momentum) pair per backbone
+    — ``getEnsembles`` (``Encoders.py:245-301``, which builds resnet50 +
+    osnet + densenet121 pairs)."""
+    pairs = []
+    for i, name in enumerate(names):
+        pairs.append(build_model_pair(name, jax.random.fold_in(rng, i), img_size=img_size, dtype=dtype))
+    return pairs
+
+
 def build_model_pair(name: str, rng: jax.Array, img_size=(256, 128), dtype=jnp.float32, **kw):
     """(online, momentum) pair with identical initial weights — the weight
     sync at ``Encoders.py:36-44`` (momentum copies online's state_dict)."""

@@ -155,6 +155,42 @@ class ResNet50ReID(nn.Module):
         )(pooled)
 
 
+class MultiPartResNet50ReID(nn.Module):
+    """ResNet-50 with horizontal-stripe part heads: the trunk feature map is
+    split into upper/middle/lower bands, each pooled (GAP+GMP) through its
+    own BN neck, plus the global head — the multipart forward consumed by
+    ``extractFeaturesMultiPart`` (``Person-ReID/getFeatures.py:110-156``;
+    model variant at ``mainKIT.py:211-313``).
+
+    Returns (upper, middle, lower, global), each (B, 2048).
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    last_stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+    feature_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = _resnet_trunk(self, x, train)
+        h = feats.shape[1]
+        if h >= 3:
+            bands = [feats[:, : h // 3], feats[:, h // 3 : 2 * h // 3], feats[:, 2 * h // 3 :], feats]
+        else:
+            # degenerate feature maps (tiny inputs): parts see the full map
+            bands = [feats, feats, feats, feats]
+
+        def head(f, name):
+            pooled = (jnp.mean(f, axis=(1, 2)) + jnp.max(f, axis=(1, 2))).astype(jnp.float32)
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, name=name,
+            )(pooled)
+
+        names = ("upper_bn", "middle_bn", "lower_bn", "last_bn")
+        return tuple(head(f, n) for f, n in zip(bands, names))
+
+
 class DualResNet50ReID(nn.Module):
     """Two-head ResNet-50: a shared trunk with separate identity / bias
     BN-neck heads, returning (concat, id_fv, bias_fv) — the intended

@@ -1,0 +1,96 @@
+"""Multi-head extraction, subset mining, BRIAR manifest ingest."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from daliid_tpu.data import make_synthetic_dataset
+from daliid_tpu.data.briar import load_briar_manifests
+from daliid_tpu.eval.features import FeatureExtractor
+from daliid_tpu.eval.subset import mine_subset
+from daliid_tpu.models import build_ensembles, get_model
+
+IMG = (32, 16)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mhdata")
+    return make_synthetic_dataset(
+        str(root), num_ids=4, imgs_per_id_train=3, imgs_per_id_test=2,
+        height=IMG[0], width=IMG[1], with_turbulence=False,
+    )
+
+
+def test_multipart_extraction(synth):
+    splits, _ = synth
+    # height 64 → trunk feature map 4 rows → real 3-band striping
+    part_img = (64, 16)
+    bundle = get_model("multipart_resnet50", jax.random.key(0), img_size=part_img)
+    ex = FeatureExtractor(bundle, img_size=part_img, batch_size=8)
+    heads = ex.extract(splits["query"])
+    assert isinstance(heads, tuple) and len(heads) == 4  # upper/middle/lower/global
+    for h in heads:
+        assert h.shape == (len(splits["query"]), 2048)
+    # parts must differ from the global head
+    assert not np.allclose(heads[0], heads[3])
+
+
+def test_dual_extraction(synth):
+    splits, _ = synth
+    bundle = get_model("dualresnet50", jax.random.key(0), img_size=IMG)
+    ex = FeatureExtractor(bundle, img_size=IMG, batch_size=8)
+    concat, id_fv, bias_fv = ex.extract(splits["query"])
+    assert concat.shape[1] == 4096 and id_fv.shape[1] == 2048 and bias_fv.shape[1] == 2048
+    np.testing.assert_allclose(concat, np.concatenate([id_fv, bias_fv], axis=1), rtol=1e-5)
+
+
+def test_mine_subset_one_encoder(synth):
+    splits, _ = synth
+    bundle = get_model("vit_small", jax.random.key(0), img_size=IMG)
+    ex = FeatureExtractor(bundle, img_size=IMG, batch_size=8)
+    train = splits["train"]
+    sel, non_sel = mine_subset(train[np.arange(1)], train, [ex], top_k=5)
+    assert len(sel) == 5 and len(non_sel) == len(train) - 5
+    assert sel[0] == 0  # the selected sample is closest to itself
+    with pytest.raises(ValueError):
+        mine_subset(train[np.arange(1)], train, [ex])
+
+
+def test_build_ensembles_synced():
+    pairs = build_ensembles(jax.random.key(0), names=("vit_small", "vit_small"), img_size=IMG)
+    assert len(pairs) == 2
+    for online, momentum in pairs:
+        a = jax.tree.leaves(online.variables)[0]
+        b = jax.tree.leaves(momentum.variables)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_briar_ingest(tmp_path):
+    # manifests: [path, id_name(prefixed), camid, distance_tag]
+    train = np.array(
+        [["/a/1.jpg", "Gp1", "c1", "200m"], ["/a/2.jpg", "Gp2", "c2", "400m"]], dtype=object
+    )
+    queries = np.array(
+        [
+            ["/q/1.jpg", "Gp1", "c1", "200m"],       # kept
+            ["/q/2.jpg", "Gp1", "c1", "close_range"],  # dropped: range tag
+            ["/q/3.jpg", "Gp9", "c1", "200m"],       # dropped: id not in gallery
+        ],
+        dtype=object,
+    )
+    gallery = np.array(
+        [["/g/1.jpg", "Gp1", "c3", "200m"], ["/g/2.jpg", "Gp2", "c3", "500m"]], dtype=object
+    )
+    paths = {}
+    for name, arr in (("train", train), ("q", queries), ("g", gallery)):
+        p = tmp_path / f"{name}.npy"
+        np.save(p, arr, allow_pickle=True)
+        paths[name] = str(p)
+
+    t, q, g = load_briar_manifests(paths["train"], paths["q"], paths["g"])
+    assert len(q) == 1
+    assert len(g) == 2 and len(t) == 2
+    # query pid must match its gallery counterpart under the shared mapping
+    assert q.pids[0] == g.pids[0]
