@@ -38,6 +38,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--turbulence_dir_path", type=str, default=None)
     p.add_argument("--turbulence_strength", type=int, default=None)
+    p.add_argument(
+        "--multiple_output", action="store_true",
+        help="multi-head model: evaluate each head and their ensembles (evaluate.py:239-279)",
+    )
+    p.add_argument(
+        "--mrfuse", action="store_true",
+        help="with --multiple_output: also report Weibull meta-recognition fusion (evaluate.py:610-627)",
+    )
     return p
 
 
@@ -78,13 +86,33 @@ def main(args):
             dataset=target,
             verbose=True,
         )
-        distmat = validator.distance_matrix(q_fvs, g_fvs)
-        cmc, mAP = validator.rank(distmat, queries, gallery)
-        print(f"[{target}] mAP: {mAP:.2%}")
-        for r in (1, 5, 10, 20):
-            if r <= len(cmc):
-                print(f"[{target}] Rank-{r:<3}: {cmc[r - 1]:.2%}")
-        results[target] = (cmc, mAP)
+
+        def report(tag, distmat):
+            cmc, mAP = validator.rank(distmat, queries, gallery)
+            print(f"[{target}{tag}] mAP: {mAP:.2%}")
+            for r in (1, 5, 10, 20):
+                if r <= len(cmc):
+                    print(f"[{target}{tag}] Rank-{r:<3}: {cmc[r - 1]:.2%}")
+            return cmc, mAP
+
+        if args.multiple_output and isinstance(q_fvs, tuple):
+            # per-head distmats + mean ensemble (evaluate.py:239-279);
+            # per-pair max-norm weights available via eval.fusion
+            distmats = []
+            for h, (qh, gh) in enumerate(zip(q_fvs, g_fvs)):
+                d = validator.distance_matrix(qh, gh)
+                distmats.append(np.asarray(d))
+                report(f":head{h}", d)
+            ensemble = np.mean(distmats, axis=0)
+            results[target] = report(":ensemble", ensemble)
+            if args.mrfuse and len(distmats) >= 3:
+                from daliid_tpu.eval.meta_recognition import mrfuse
+
+                fused_sim = mrfuse(*[1.0 - d for d in distmats[:3]])
+                results[target + ":mrfuse"] = report(":mrfuse", 1.0 - np.asarray(fused_sim))
+        else:
+            distmat = validator.distance_matrix(q_fvs, g_fvs)
+            results[target] = report("", distmat)
     return results
 
 

@@ -200,6 +200,25 @@ def data_root(root: str | None = None) -> str:
     return root or os.environ.get("DALIID_DATA_ROOT", "/data/reid")
 
 
+def load_text_dataset(base_dir: str, list_dir: str = "."):
+    """Author-identification text splits (``datasetUtils.load_text_dataset``,
+    ``datasetUtils.py:250-280``): ``{training,query,gallery}_tweets.txt``
+    manifests of ``<author_id> <tweet_id>`` lines → arrays of
+    ``[tweets.json path, author_id, tweet_id]`` rows."""
+    out = []
+    for split in ("training", "query", "gallery"):
+        rows = []
+        with open(os.path.join(list_dir, f"{split}_tweets.txt")) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                author_id, tweet_id = line.split()
+                rows.append([os.path.join(base_dir, author_id, "tweets.json"), author_id, tweet_id])
+        out.append(np.array(rows, dtype=object))
+    train, query, gallery = out
+    return train, gallery, query
+
+
 _LOADERS: Dict[str, Callable] = {}
 
 

@@ -361,6 +361,159 @@ def hard_center_triplet_loss(batch_fvs, batch_labels, centers, tau=0.1, sample_m
     return jnp.sum(per) / jnp.maximum(jnp.sum(sample_mask), 1)
 
 
+def clothes_triplet_loss(batch_fvs, batch_labels, batch_clothes, tau=0.1, sample_mask=None):
+    """Clothes-changing triplet: positives are same-id different-clothes
+    pairs, hardest each (``BatchSoftmaxClothesTripletLoss``,
+    ``losses.py:384-417``); anchors without such a positive are skipped."""
+    if sample_mask is None:
+        sample_mask = jnp.ones(batch_fvs.shape[0], dtype=bool)
+    sim = jnp.dot(batch_fvs, batch_fvs.T, preferred_element_type=jnp.float32)
+    valid = sample_mask[:, None] & sample_mask[None, :]
+    same_id = (batch_labels[:, None] == batch_labels[None, :]) & valid
+    diff_clothes = batch_clothes[:, None] != batch_clothes[None, :]
+    pos_mask = same_id & diff_clothes
+    neg_mask = (~same_id) & valid
+
+    p = jnp.min(jnp.where(pos_mask, sim, jnp.inf), axis=1)
+    q = jnp.max(jnp.where(neg_mask, sim, -jnp.inf), axis=1)
+    ok = sample_mask & jnp.isfinite(p) & jnp.isfinite(q)
+    per = jnp.where(ok, jax.nn.softplus((q - p) / tau), 0.0)
+    return jnp.sum(per) / jnp.maximum(jnp.sum(ok), 1)
+
+
+def bipartite_loss(
+    batch_fvs, batch_labels, batch_cameras, batch_clothes, samples_distortion,
+    epoch, num_epochs, tau=0.1, sample_mask=None,
+):
+    """Clothes/camera-partitioned relative softmax pair
+    (``BatchSoftmaxBipatiteLoss``, ``losses.py:467-547``), 13-level weights.
+
+    Returns (clothes_loss, camera_loss): positives restricted to same-camera
+    different-clothes (resp. same-camera) pairs, negatives to same-camera
+    different-identity pairs.
+    """
+    if sample_mask is None:
+        sample_mask = jnp.ones(batch_fvs.shape[0], dtype=bool)
+    w = _weights_for(samples_distortion, epoch, num_epochs, N_MIN_13) * sample_mask
+    sim = jnp.dot(batch_fvs, batch_fvs.T, preferred_element_type=jnp.float32)
+    s_exp = jnp.exp(sim / tau)
+    valid = sample_mask[:, None] & sample_mask[None, :]
+    same_id = (batch_labels[:, None] == batch_labels[None, :]) & valid
+    same_cam = batch_cameras[:, None] == batch_cameras[None, :]
+    same_clothes = batch_clothes[:, None] == batch_clothes[None, :]
+
+    def partition_loss(pos_mask, neg_mask):
+        pos_sum = jnp.sum(s_exp * pos_mask, axis=1, keepdims=True)
+        neg_sum = jnp.sum(s_exp * neg_mask, axis=1, keepdims=True)
+        rel = -jnp.log((s_exp * pos_mask + _EPS) / (pos_sum + neg_sum + _EPS)) * pos_mask
+        per = jnp.sum(rel, axis=1) / (jnp.sum(pos_mask, axis=1) + _EPS)
+        return jnp.sum(w * per) / jnp.maximum(jnp.sum(w), _EPS)
+
+    clothes_loss = partition_loss(same_id & same_cam & ~same_clothes, ~same_id & same_cam)
+    camera_loss = partition_loss(same_id & same_cam, ~same_id & same_cam)
+    return clothes_loss, camera_loss
+
+
+def weighted_pose_loss(
+    batch_fvs, batch_labels, batch_cameras, batch_clothes, samples_distortion,
+    epoch, num_epochs, tau=0.1, sample_mask=None,
+):
+    """Pose partition: positives same-id same-clothes same-camera
+    (``BatchWeightedPoseLoss``, ``losses.py:549-605``), 13-level weights."""
+    if sample_mask is None:
+        sample_mask = jnp.ones(batch_fvs.shape[0], dtype=bool)
+    w = _weights_for(samples_distortion, epoch, num_epochs, N_MIN_13) * sample_mask
+    sim = jnp.dot(batch_fvs, batch_fvs.T, preferred_element_type=jnp.float32)
+    s_exp = jnp.exp(sim / tau)
+    valid = sample_mask[:, None] & sample_mask[None, :]
+    same_id = (batch_labels[:, None] == batch_labels[None, :]) & valid
+    same_cam = batch_cameras[:, None] == batch_cameras[None, :]
+    same_clothes = batch_clothes[:, None] == batch_clothes[None, :]
+
+    pos_mask = same_id & same_clothes & same_cam
+    neg_mask = ~same_id & same_cam & valid
+    pos_sum = jnp.sum(s_exp * pos_mask, axis=1, keepdims=True)
+    neg_sum = jnp.sum(s_exp * neg_mask, axis=1, keepdims=True)
+    rel = -jnp.log((s_exp * pos_mask + _EPS) / (pos_sum + neg_sum + _EPS)) * pos_mask
+    per = jnp.sum(rel, axis=1) / (jnp.sum(pos_mask, axis=1) + _EPS)
+    return jnp.sum(w * per) / jnp.maximum(jnp.sum(w), _EPS)
+
+
+def controlled_camera_hard_loss(
+    batch_fvs, batch_labels, samples_distortion, epoch, num_epochs, tau=0.1, sample_mask=None
+):
+    """Clean-anchor → per-distortion-level hardest triplets
+    (``BatchControlledCameraHardLoss``, ``losses.py:730-791``): for every
+    clean sample (distortion 0) and every distortion level d present in its
+    class, pair the weakest same-class level-d positive against a hard
+    same-level negative, weighted by the 13-level table.
+
+    Vectorized over the (anchor, level) grid: for each clean anchor i and
+    level d ∈ 1..5, p = min similarity to same-class level-d samples, q =
+    the hardest (max) similarity among different-class level-d samples. The
+    reference walks negatives in sorted order so repeated levels consume
+    successive negatives; with one triplet per (anchor, level) — the PK
+    pairer emits exactly one copy per level — the hardest negative is that
+    first sorted element, making this exactly equivalent.
+    """
+    if sample_mask is None:
+        sample_mask = jnp.ones(batch_fvs.shape[0], dtype=bool)
+    sim = jnp.dot(batch_fvs, batch_fvs.T, preferred_element_type=jnp.float32)
+    valid = sample_mask[:, None] & sample_mask[None, :]
+    same_id = (batch_labels[:, None] == batch_labels[None, :]) & valid
+    table = distortion_weights(epoch, num_epochs, N_MIN_13)
+
+    is_clean_anchor = (samples_distortion == 0) & sample_mask
+    levels = jnp.arange(1, 6)
+
+    def level_terms(d):
+        is_d = (samples_distortion[None, :] == d) & sample_mask[None, :]
+        pos = jnp.where(same_id & is_d, sim, jnp.inf)
+        p = jnp.min(pos, axis=1)
+        neg = jnp.where(~same_id & valid & is_d, sim, -jnp.inf)
+        q = jnp.max(neg, axis=1)
+        has = is_clean_anchor & jnp.isfinite(p) & jnp.isfinite(q)
+        term = jnp.where(has, jax.nn.softplus((q - p) / tau), 0.0)
+        w = jnp.where(has, table[d], 0.0)
+        return (w * term).sum(), w.sum()
+
+    terms, weights = jax.vmap(level_terms)(levels)
+    return terms.sum() / jnp.maximum(weights.sum(), _EPS)
+
+
+def camera_hard_loss(
+    batch_fvs, batch_labels, batch_camera_labels, camera_centers,
+    center_ids, center_cams, tau=0.1, sample_mask=None,
+):
+    """Camera-proxy triplets (``BatchCameraHardLoss``, ``losses.py:794-866``):
+    each sample pulls toward its identity's *other-camera* centers and
+    pushes from the hardest same-camera different-identity center.
+
+    ``camera_centers`` (Nc, D) with per-center identity/camera labels.
+    Deviation from the reference: every positive uses the hardest
+    same-camera negative (the reference cycles through sorted negatives;
+    with typically ≥ positives negatives available the first elements
+    dominate). Returns the mean over all (sample, other-camera-center)
+    pairs.
+    """
+    if sample_mask is None:
+        sample_mask = jnp.ones(batch_fvs.shape[0], dtype=bool)
+    sim = jnp.dot(batch_fvs, camera_centers.T, preferred_element_type=jnp.float32)  # (B, Nc)
+    same_id = batch_labels[:, None] == center_ids[None, :]
+    same_cam = batch_camera_labels[:, None] == center_cams[None, :]
+
+    # positives: own-id centers from other cameras
+    pos_mask = same_id & ~same_cam
+    # negatives: other-id centers from the sample's own camera
+    neg_mask = ~same_id & same_cam
+    q = jnp.max(jnp.where(neg_mask, sim, -jnp.inf), axis=1)   # hardest negative per sample
+    has_neg = jnp.isfinite(q)
+    per_pair = jax.nn.softplus((q[:, None] - sim) / tau)
+    counted = pos_mask & has_neg[:, None] & sample_mask[:, None]
+    total = jnp.sum(jnp.where(counted, per_pair, 0.0))
+    return total / jnp.maximum(jnp.sum(counted), 1)
+
+
 def median_softmax_triplet_loss(batch_fvs, batch_labels, tau=0.1, sample_mask=None):
     """Median-positive/median-negative softmax triplet
     (``BatchMedianSoftmaxTripletLoss``, ``losses.py:927-971``; the reference

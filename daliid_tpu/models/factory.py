@@ -119,6 +119,19 @@ def _vit_small(dtype=jnp.float32, img_size=(256, 128), **kw):
     return m, 384
 
 
+@register_model("transreid_jpm")
+def _transreid_jpm(dtype=jnp.float32, img_size=(256, 128), sie_cameras=0, sie_views=0,
+                   num_classes=0, **kw):
+    """TransReID with the jigsaw patch module (make_models.py:221-389)."""
+    from daliid_tpu.models.transreid_jpm import TransReIDJPM
+
+    m = TransReIDJPM(
+        img_size=tuple(img_size), sie_cameras=sie_cameras, sie_views=sie_views,
+        num_classes=num_classes, dtype=dtype,
+    )
+    return m, 5 * 768
+
+
 @register_model("transreid")
 def _transreid(dtype=jnp.float32, img_size=(256, 128), sie_cameras=0, sie_views=0, **kw):
     m = transreid_base(img_size=tuple(img_size), sie_cameras=sie_cameras, sie_views=sie_views, dtype=dtype)

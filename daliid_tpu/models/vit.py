@@ -122,6 +122,9 @@ class ViTReID(nn.Module):
     sie_cameras: int = 0          # >0 enables SIE camera embedding
     sie_views: int = 0
     sie_coef: float = 3.0         # cfg.MODEL.SIE_COE equivalent
+    local_feature: bool = False   # True → return token sequence before the
+                                  # last block (TransReID JPM trunk mode,
+                                  # vit_pytorch.py:375-404 local_feature path)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -174,10 +177,15 @@ class ViTReID(nn.Module):
 
         # Linear drop-path schedule across depth (vit_pytorch.py:343-345).
         dprs = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
-        for i in range(self.depth):
+        run_depth = self.depth - 1 if self.local_feature else self.depth
+        for i in range(run_depth):
             x = Block(
                 self.num_heads, self.mlp_ratio, dprs[i], dtype=self.dtype, name=f"block{i}"
             )(x, train=train)
+
+        if self.local_feature:
+            # JPM trunk: unnormed token sequence before the last block
+            return x.astype(jnp.float32)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         cls_out = x[:, 0].astype(jnp.float32)

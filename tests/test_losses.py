@@ -195,6 +195,69 @@ def test_center_and_l2_center_losses(batch):
     assert np.isfinite(float(c)) and float(l2) >= 0.0
 
 
+def test_clothes_triplet_vs_loop(rng):
+    B, D = 16, 8
+    fvs = _normalize(rng.normal(size=(B, D))).astype(np.float32)
+    labels = np.repeat(np.arange(4), 4).astype(np.int32)
+    clothes = np.tile([0, 0, 1, 1], 4).astype(np.int32)
+    loss = L.clothes_triplet_loss(jnp.asarray(fvs), jnp.asarray(labels), jnp.asarray(clothes), tau=0.1)
+    S = fvs @ fvs.T
+    total, n = 0.0, 0
+    for i in range(B):
+        pos = S[i][(labels == labels[i]) & (clothes != clothes[i])]
+        neg = S[i][labels != labels[i]]
+        if len(pos) and len(neg):
+            p, q = np.exp(pos.min() / 0.1), np.exp(neg.max() / 0.1)
+            total += -np.log(p / (p + q))
+            n += 1
+    assert float(loss) == pytest.approx(total / n, rel=1e-4)
+
+
+def test_bipartite_and_pose_losses_run(rng):
+    B, D = 16, 8
+    fvs = _normalize(rng.normal(size=(B, D))).astype(np.float32)
+    labels = np.repeat(np.arange(4), 4).astype(np.int32)
+    cams = np.tile([0, 0, 1, 1], 4).astype(np.int32)
+    clothes = np.tile([0, 1], 8).astype(np.int32)
+    dist = rng.integers(0, 13, B).astype(np.int32)
+    cl, cam = L.bipartite_loss(
+        jnp.asarray(fvs), jnp.asarray(labels), jnp.asarray(cams), jnp.asarray(clothes),
+        jnp.asarray(dist), 10, 100,
+    )
+    pose = L.weighted_pose_loss(
+        jnp.asarray(fvs), jnp.asarray(labels), jnp.asarray(cams), jnp.asarray(clothes),
+        jnp.asarray(dist), 10, 100,
+    )
+    assert np.isfinite(float(cl)) and np.isfinite(float(cam)) and np.isfinite(float(pose))
+
+
+def test_controlled_camera_hard_loss(rng):
+    # PK-paired batch: [clean, level-s] pairs per sample
+    B, D = 16, 8
+    fvs = _normalize(rng.normal(size=(B, D))).astype(np.float32)
+    labels = np.repeat(np.arange(4), 4).astype(np.int32)
+    dist = np.tile([0, 2, 0, 4], 4).astype(np.int32)
+    loss = L.controlled_camera_hard_loss(
+        jnp.asarray(fvs), jnp.asarray(labels), jnp.asarray(dist), 5, 100
+    )
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_camera_hard_loss(rng):
+    B, D, C = 12, 8, 9
+    fvs = _normalize(rng.normal(size=(B, D))).astype(np.float32)
+    labels = np.repeat(np.arange(3), 4).astype(np.int32)
+    cams = np.tile([0, 1, 2, 0], 3).astype(np.int32)
+    centers = _normalize(rng.normal(size=(C, D))).astype(np.float32)
+    center_ids = np.repeat(np.arange(3), 3).astype(np.int32)
+    center_cams = np.tile([0, 1, 2], 3).astype(np.int32)
+    loss = L.camera_hard_loss(
+        jnp.asarray(fvs), jnp.asarray(labels), jnp.asarray(cams),
+        jnp.asarray(centers), jnp.asarray(center_ids), jnp.asarray(center_cams),
+    )
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
 def test_median_triplet_loss_runs(batch):
     fvs, labels, _, _ = batch
     loss = L.median_softmax_triplet_loss(jnp.asarray(fvs), jnp.asarray(labels))

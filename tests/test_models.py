@@ -89,6 +89,33 @@ def test_vit_sie_changes_output(rng):
     assert not np.allclose(np.asarray(out0), np.asarray(out1))
 
 
+def test_transreid_jpm_shapes():
+    from daliid_tpu.models.transreid_jpm import TransReIDJPM, shuffle_unit
+
+    m = TransReIDJPM(
+        img_size=(64, 32), patch_size=16, patch_stride=16, embed_dim=64, depth=3,
+        num_heads=4, drop_path_rate=0.0, num_classes=7,
+    )
+    x = jnp.zeros((2, 64, 32, 3))
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (2, 5 * 64)  # global + 4 locals
+
+    # train mode: 5 logits + 5 features
+    scores, feats = m.apply(v, x, train=True, mutable=["batch_stats"])[0]
+    assert len(scores) == 5 and len(feats) == 5
+    assert scores[0].shape == (2, 7)
+
+    # shuffle_unit drops the cls token and permutes patches
+    tokens = jnp.arange(2 * 9 * 4, dtype=jnp.float32).reshape(2, 9, 4)
+    shuffled = shuffle_unit(tokens, shift=3, group=2)
+    assert shuffled.shape == (2, 8, 4)
+    # content preserved (a permutation of the 8 non-cls tokens)
+    assert np.allclose(
+        np.sort(np.asarray(shuffled[0, :, 0])), np.sort(np.asarray(tokens[0, 1:, 0]))
+    )
+
+
 def test_resize_pos_embed():
     pe = np.random.default_rng(0).normal(size=(1, 1 + 4 * 2, 8)).astype(np.float32)
     out = resize_pos_embed(pe, new_hw=(8, 4), old_hw=(4, 2))
