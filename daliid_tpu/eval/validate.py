@@ -92,6 +92,56 @@ def get_validator(dataset_name: str, **kw) -> Validator:
     return Validator(**kw)
 
 
+class MSMT17Validator:
+    """Stateful best-balanced-accuracy tracker + checkpointing — the
+    ``MSMT17_validator`` class (``validateModels.py:120-153``): validates
+    both the online and momentum models on the val split each call and
+    snapshots whichever first exceeds the best accuracy so far."""
+
+    def __init__(self, train_table, val_table, img_size=(256, 128), batch_size=512, save_dir=None,
+                 model_name="model", version="v0"):
+        self.train_table = train_table
+        self.val_table = val_table
+        self.img_size = img_size
+        self.batch_size = batch_size
+        self.save_dir = save_dir
+        self.model_name = model_name
+        self.version = version
+        self.best_accuracy = 0.0
+        self.best_iter = 0
+
+    def validate(self, pipeline_iter, online_extractor, momentum_extractor,
+                 online_variables=None, momentum_variables=None, verbose=True):
+        acc_online = msmt17_balanced_accuracy(
+            self.train_table, self.val_table, online_extractor, verbose=verbose
+        )
+        acc_momentum = msmt17_balanced_accuracy(
+            self.train_table, self.val_table, momentum_extractor, verbose=verbose
+        )
+        best = max(acc_online, acc_momentum)
+        if best > self.best_accuracy:
+            self.best_accuracy = best
+            self.best_iter = pipeline_iter
+            if self.save_dir and online_variables is not None:
+                import os
+
+                from daliid_tpu.train.checkpoint import save_variables
+
+                os.makedirs(self.save_dir, exist_ok=True)
+                save_variables(
+                    os.path.join(self.save_dir, f"model_online_bestACC_{self.model_name}_{self.version}.npz"),
+                    online_variables,
+                )
+                if momentum_variables is not None:
+                    save_variables(
+                        os.path.join(self.save_dir, f"model_momentum_bestACC_{self.model_name}_{self.version}.npz"),
+                        momentum_variables,
+                    )
+        if verbose:
+            print(f"Best Balanced Accuracy: {self.best_accuracy:.2%} and best iter: {self.best_iter}")
+        return acc_online, acc_momentum
+
+
 def msmt17_balanced_accuracy(
     train_table: ReidTable,
     val_table: ReidTable,

@@ -50,9 +50,14 @@ class Mlp(nn.Module):
 
 
 class Attention(nn.Module):
-    """Multi-head self-attention (vit_pytorch.py:139-164) with fused SDPA."""
+    """Multi-head self-attention (vit_pytorch.py:139-164).
+
+    ``use_pallas=True`` routes through the fused Pallas kernel
+    (:mod:`daliid_tpu.ops.flash_attention`); otherwise XLA's fused SDPA.
+    """
 
     num_heads: int
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -65,8 +70,13 @@ class Attention(nn.Module):
         def heads(t):
             return t.reshape(B, N, self.num_heads, head_dim)
 
-        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
-        out = out.reshape(B, N, C)
+        if self.use_pallas:
+            from daliid_tpu.ops.flash_attention import flash_attention
+
+            out = flash_attention(heads(q), heads(k), heads(v))
+        else:
+            out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+        out = out.reshape(B, N, C).astype(self.dtype)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
@@ -76,13 +86,16 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.0
+    use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
         C = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        y = Attention(self.num_heads, dtype=self.dtype, name="attn")(y, train)
+        y = Attention(
+            self.num_heads, use_pallas=self.use_pallas_attention, dtype=self.dtype, name="attn"
+        )(y, train)
         if train and self.drop_path_rate > 0.0:
             y = drop_path(y, self.make_rng("droppath"), self.drop_path_rate)
         x = x + y
@@ -125,6 +138,7 @@ class ViTReID(nn.Module):
     local_feature: bool = False   # True → return token sequence before the
                                   # last block (TransReID JPM trunk mode,
                                   # vit_pytorch.py:375-404 local_feature path)
+    use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -180,7 +194,9 @@ class ViTReID(nn.Module):
         run_depth = self.depth - 1 if self.local_feature else self.depth
         for i in range(run_depth):
             x = Block(
-                self.num_heads, self.mlp_ratio, dprs[i], dtype=self.dtype, name=f"block{i}"
+                self.num_heads, self.mlp_ratio, dprs[i],
+                use_pallas_attention=self.use_pallas_attention,
+                dtype=self.dtype, name=f"block{i}",
             )(x, train=train)
 
         if self.local_feature:

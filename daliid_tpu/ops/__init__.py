@@ -1,0 +1,3 @@
+from daliid_tpu.ops.flash_attention import flash_attention
+
+__all__ = ["flash_attention"]

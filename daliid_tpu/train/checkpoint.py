@@ -51,7 +51,7 @@ class CheckpointManager:
     def save(self, epoch: int, state: TrainState, metrics: Dict[str, float] | None = None):
         payload = {
             "state": _state_to_pytree(state),
-            "epoch": np.int64(epoch),
+            "epoch": np.asarray(epoch, dtype=np.int64),
         }
         self._mgr.save(
             epoch,
@@ -68,7 +68,7 @@ class CheckpointManager:
         if template_state is not None:
             template = {
                 "state": _state_to_pytree(template_state),
-                "epoch": np.int64(0),
+                "epoch": np.asarray(0, dtype=np.int64),
             }
             payload = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         else:
