@@ -32,11 +32,14 @@ def _l2n(x: np.ndarray) -> np.ndarray:
 class Validator:
     """Standard Market-protocol validation."""
 
-    def __init__(self, img_size=(256, 128), batch_size: int = 512, mesh=None, max_rank: int = 50):
+    def __init__(self, img_size=(256, 128), batch_size: int = 512, mesh=None, max_rank: int = 50,
+                 rerank: bool = False):
         self.img_size = img_size
         self.batch_size = batch_size
         self.mesh = mesh
         self.max_rank = max_rank
+        self.rerank = rerank  # optional k-reciprocal re-ranking
+                              # (the commented path at validateModels.py:49-53)
 
     def distance_matrix(self, query_fvs: np.ndarray, gallery_fvs: np.ndarray) -> jnp.ndarray:
         return cosine_distance_matrix(jnp.asarray(query_fvs), jnp.asarray(gallery_fvs))
@@ -65,6 +68,16 @@ class Validator:
         q_fvs = extractor.extract(queries, verbose=verbose)
         g_fvs = extractor.extract(gallery, verbose=verbose)
         distmat = self.distance_matrix(q_fvs, g_fvs)
+        if self.rerank:
+            from daliid_tpu.eval.rerank import re_ranking
+
+            if verbose:
+                print("Applying person re-ranking ...")
+            distmat = re_ranking(
+                np.asarray(distmat),
+                np.asarray(self.distance_matrix(q_fvs, q_fvs)),
+                np.asarray(self.distance_matrix(g_fvs, g_fvs)),
+            )
         cmc, mAP = self.rank(distmat, queries, gallery)
         if verbose:
             print(f"** Results ** mAP: {mAP:.2%}")

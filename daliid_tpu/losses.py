@@ -226,7 +226,8 @@ def weighted_cross_entropy_loss(probs, labels, samples_distortion, epoch, num_ep
     return loss, avg_max_prob
 
 
-def paired_distortion_loss(clean_fvs, distorted_fvs, distortion_levels, epoch, num_epochs):
+def paired_distortion_loss(clean_fvs, distorted_fvs, distortion_levels, epoch, num_epochs,
+                           pair_mask=None):
     """Clean↔distorted embedding-consistency L2, weighted by the 13-level
     table.
 
@@ -239,6 +240,8 @@ def paired_distortion_loss(clean_fvs, distorted_fvs, distortion_levels, epoch, n
     """
     table = distortion_weights(epoch, num_epochs, N_MIN_13)
     w = table[distortion_levels]
+    if pair_mask is not None:
+        w = w * pair_mask
     d2 = jnp.sum((clean_fvs - distorted_fvs) ** 2, axis=1)
     return jnp.sum(w * d2) / jnp.maximum(jnp.sum(w), _EPS)
 

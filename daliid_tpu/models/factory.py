@@ -167,6 +167,15 @@ def _multipart_resnet50(dtype=jnp.float32, **kw):
     return MultiPartResNet50ReID(dtype=dtype), 2048
 
 
+@register_model("multiview_resnet50")
+def _multiview_resnet50(dtype=jnp.float32, **kw):
+    """Global/spatial/channel attention heads (getFeatures.py:202-241
+    consumer; Encoders.py:517-531 attention design)."""
+    from daliid_tpu.models.resnet import MultiViewResNet50ReID
+
+    return MultiViewResNet50ReID(dtype=dtype), 2048
+
+
 def build_ensembles(
     rng: jax.Array,
     names=("resnet50", "osnet", "densenet121"),

@@ -191,6 +191,54 @@ class MultiPartResNet50ReID(nn.Module):
         return tuple(head(f, n) for f, n in zip(bands, names))
 
 
+class MultiViewResNet50ReID(nn.Module):
+    """ResNet-50 with global / spatial-attention / channel-attention heads.
+
+    Provides the three-view forward consumed by ``extractFeaturesMultiView``
+    (``Person-ReID/getFeatures.py:202-241``), built from the reference's
+    (unused) ``spatial_channel_attention`` design
+    (``Encoders.py:517-531``): a 1x1-conv sigmoid spatial gate and a
+    squeeze/expand sigmoid channel gate over the trunk feature map.
+
+    Returns (global_fv, spatial_fv, channel_fv), each (B, 2048).
+    """
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    last_stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+    feature_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = _resnet_trunk(self, x, train)
+        ch = feats.shape[-1]
+
+        # spatial gate: 1x1 conv → sigmoid (Encoders.py:520)
+        space_att = nn.sigmoid(
+            nn.Conv(1, (1, 1), dtype=self.dtype, name="spatial_gate")(feats)
+        )
+        # channel gate: concat(gap, gmp) → squeeze 1x1 → relu → expand 1x1 →
+        # sigmoid (Encoders.py:522-527)
+        gp = jnp.concatenate(
+            [jnp.mean(feats, axis=(1, 2)), jnp.max(feats, axis=(1, 2))], axis=-1
+        )[:, None, None, :]
+        squeezed = nn.relu(nn.Conv(ch // 2, (1, 1), dtype=self.dtype, name="channel_squeeze")(gp))
+        channel_att = nn.sigmoid(nn.Conv(ch, (1, 1), dtype=self.dtype, name="channel_expand")(squeezed))
+
+        def head(f, name):
+            pooled = (jnp.mean(f, axis=(1, 2)) + jnp.max(f, axis=(1, 2))).astype(jnp.float32)
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, name=name,
+            )(pooled)
+
+        return (
+            head(feats, "last_bn"),
+            head(feats * space_att, "spatial_bn"),
+            head(feats * channel_att, "channel_bn"),
+        )
+
+
 class DualResNet50ReID(nn.Module):
     """Two-head ResNet-50: a shared trunk with separate identity / bias
     BN-neck heads, returning (concat, id_fv, bias_fv) — the intended

@@ -104,6 +104,9 @@ class Trainer:
         tau: float = 0.1,
         beta: float = 0.999,
         lambda_proxy: float = 1.0,
+        lambda_distortion: float = 0.0,  # optional clean<->AT consistency
+                                         # (losses.py:90-148; off in the
+                                         # reference train path)
         num_epochs: int = 250,
         num_proxies: int = 5,
         mesh=None,
@@ -118,6 +121,8 @@ class Trainer:
         self.tau = tau
         self.beta = beta
         self.lambda_proxy = lambda_proxy
+        self.lambda_distortion = lambda_distortion
+        self.paired_batches = sampler.kind_of_transform == 1
         self.num_epochs = num_epochs
         self.num_proxies = num_proxies
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -160,6 +165,8 @@ class Trainer:
         tau = self.tau
         beta = self.beta
         lambda_proxy = self.lambda_proxy
+        lambda_distortion = self.lambda_distortion
+        paired = self.paired_batches
         num_epochs = float(self.num_epochs)
         optimizer = self.optimizer
         dtype = self.compute_dtype
@@ -221,6 +228,14 @@ class Trainer:
                     tau=tau, sample_mask=mask,
                 )
                 total = center_loss + lambda_proxy * proxy_loss
+                if lambda_distortion > 0.0 and paired:
+                    # adjacent [clean, distorted] slots (sampler emission
+                    # order, train_encodersKIT.py:382-394)
+                    dist_loss = L.paired_distortion_loss(
+                        fvs[0::2], fvs[1::2], distortions[1::2], epoch, num_epochs,
+                        pair_mask=mask[1::2],
+                    )
+                    total = total + lambda_distortion * dist_loss
                 return total, (updates["batch_stats"], center_loss, proxy_loss, aux)
 
             (total, (new_stats, center_loss, proxy_loss, aux)), grads = jax.value_and_grad(

@@ -37,6 +37,15 @@ def test_multipart_extraction(synth):
     assert not np.allclose(heads[0], heads[3])
 
 
+def test_multiview_extraction(synth):
+    splits, _ = synth
+    bundle = get_model("multiview_resnet50", jax.random.key(0), img_size=IMG)
+    ex = FeatureExtractor(bundle, img_size=IMG, batch_size=8)
+    g, s, c = ex.extract(splits["query"])
+    assert g.shape == s.shape == c.shape == (len(splits["query"]), 2048)
+    assert not np.allclose(g, s) and not np.allclose(g, c)
+
+
 def test_dual_extraction(synth):
     splits, _ = synth
     bundle = get_model("dualresnet50", jax.random.key(0), img_size=IMG)
