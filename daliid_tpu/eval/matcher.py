@@ -1,0 +1,97 @@
+"""Gallery index + sharded identity search — the serving path.
+
+The reference's "serving" story is batch evaluation scripts; production
+identification needs a resident gallery and low-latency probes. This module
+keeps the L2-normalized gallery embedding matrix device-resident, sharded
+over the ``data`` mesh axis, and answers probes with one fused program:
+
+    local scores (Q, G/n) → local top-k → all_gather over ICI → merged top-k
+
+implemented with ``shard_map`` so the collective is explicit and rides ICI
+(SURVEY.md §2.3's TPU plan). Single-chip meshes degenerate to a plain
+matmul + top_k.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from daliid_tpu.parallel.mesh import make_mesh
+
+
+class GalleryIndex:
+    """Device-resident searchable gallery."""
+
+    def __init__(self, gallery_fvs: np.ndarray, gallery_pids=None, mesh=None):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n_dev = self.mesh.devices.size
+        g = np.asarray(gallery_fvs, np.float32)
+        g = g / (np.linalg.norm(g, axis=1, keepdims=True) + 1e-12)
+        self.num_gallery = g.shape[0]
+        pad = (-g.shape[0]) % n_dev
+        if pad:
+            g = np.concatenate([g, np.zeros((pad, g.shape[1]), np.float32)])
+        self._gallery = jax.device_put(g, NamedSharding(self.mesh, P("data", None)))
+        self.gallery_pids = None if gallery_pids is None else np.asarray(gallery_pids)
+        self._search = self._build_search()
+
+    def _build_search(self):
+        mesh = self.mesh
+        n_dev = mesh.devices.size
+        g_pad = self._gallery.shape[0]
+        shard_size = g_pad // n_dev
+        num_real = self.num_gallery
+
+        def local_search(q, g_local, k):
+            # q replicated (Q, D); g_local (G/n, D) this shard's rows
+            sims = jnp.dot(q, g_local.T, preferred_element_type=jnp.float32)
+            shard_idx = jax.lax.axis_index("data")
+            base = shard_idx * shard_size
+            col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + base
+            sims = jnp.where(col < num_real, sims, -jnp.inf)  # mask padding rows
+            # a shard can hold fewer than k rows; the cross-shard merge
+            # still sees n * k_local >= k candidates
+            k_local = min(k, shard_size)
+            vals, idx = jax.lax.top_k(sims, k_local)
+            global_idx = idx + base
+            # gather every shard's candidates and merge
+            all_vals = jax.lax.all_gather(vals, "data", axis=0)      # (n, Q, k)
+            all_idx = jax.lax.all_gather(global_idx, "data", axis=0)
+            all_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(vals.shape[0], -1)
+            all_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(vals.shape[0], -1)
+            mvals, mpos = jax.lax.top_k(all_vals, k)
+            midx = jnp.take_along_axis(all_idx, mpos, axis=1)
+            return mvals, midx
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def search(q, gallery, k):
+            fn = jax.shard_map(
+                functools.partial(local_search, k=k),
+                mesh=mesh,
+                in_specs=(P(), P("data", None)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            return fn(q, gallery)
+
+        return search
+
+    def search(self, probe_fvs: np.ndarray, k: int = 10):
+        """→ (similarities (Q, k), gallery_indices (Q, k)[, pids (Q, k)]).
+
+        ``probe_fvs`` are raw embeddings; normalized here. Similarity is the
+        cosine (distance = 1 - sim, matching ``validateModels.py:47``).
+        """
+        q = np.asarray(probe_fvs, np.float32)
+        q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+        k = min(k, self.num_gallery)
+        vals, idx = self._search(jnp.asarray(q), self._gallery, k)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        if self.gallery_pids is not None:
+            return vals, idx, self.gallery_pids[idx]
+        return vals, idx

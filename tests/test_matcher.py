@@ -1,0 +1,45 @@
+"""Sharded gallery search: correctness vs brute force on the 8-device mesh."""
+
+import numpy as np
+import pytest
+
+from daliid_tpu.eval.matcher import GalleryIndex
+
+
+def _l2n(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_search_matches_bruteforce(rng):
+    G, Q, D, K = 103, 7, 32, 5  # G not divisible by 8 → padding path
+    gallery = rng.normal(size=(G, D)).astype(np.float32)
+    probes = rng.normal(size=(Q, D)).astype(np.float32)
+    idx = GalleryIndex(gallery)
+    vals, ids = idx.search(probes, k=K)
+
+    sims = _l2n(probes) @ _l2n(gallery).T
+    expected = np.argsort(-sims, axis=1)[:, :K]
+    for qi in range(Q):
+        # same set of top-k indices (ties permitted to reorder)
+        assert set(ids[qi]) == set(expected[qi])
+        np.testing.assert_allclose(np.sort(vals[qi]), np.sort(sims[qi][expected[qi]]), atol=1e-5)
+    # similarities sorted descending
+    assert np.all(np.diff(vals, axis=1) <= 1e-7)
+
+
+def test_search_returns_pids(rng):
+    gallery = rng.normal(size=(24, 16)).astype(np.float32)
+    pids = rng.integers(0, 5, 24)
+    idx = GalleryIndex(gallery, gallery_pids=pids)
+    vals, ids, out_pids = idx.search(gallery[:3], k=1)
+    # nearest neighbor of a gallery vector is itself
+    np.testing.assert_array_equal(ids[:, 0], np.arange(3))
+    np.testing.assert_array_equal(out_pids[:, 0], pids[:3])
+    assert vals[0, 0] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_k_clamped_to_gallery(rng):
+    gallery = rng.normal(size=(4, 8)).astype(np.float32)
+    idx = GalleryIndex(gallery)
+    vals, ids = idx.search(gallery[:2], k=100)
+    assert vals.shape == (2, 4)
