@@ -74,9 +74,28 @@ def main(args):
     for target in args.targets:
         splits = load_dataset(target, root=args.data_root)
         queries, gallery = splits["query"], splits["gallery"]
-        if isinstance(gallery, list):
-            gallery, queries = gallery[0], queries[0] if isinstance(queries, list) else queries
         validator = get_validator(target, img_size=img_size, batch_size=args.batch_size)
+
+        # multi-split protocols (PRCC's 10 gallery splits, ImageNet-as-reid):
+        # evaluate every (query set, gallery split) pair and report the mean
+        # over gallery splits per query set
+        if isinstance(gallery, list) or isinstance(queries, list):
+            galleries = gallery if isinstance(gallery, list) else [gallery]
+            query_sets = queries if isinstance(queries, list) else [queries]
+            for qi, qset in enumerate(query_sets):
+                q_fvs = extractor.extract(qset, verbose=False)
+                r1s, maps = [], []
+                for gi, gset in enumerate(galleries):
+                    g_fvs = extractor.extract(gset, verbose=False)
+                    cmc, mAP = validator.rank(validator.distance_matrix(q_fvs, g_fvs), qset, gset)
+                    r1s.append(float(cmc[0]))
+                    maps.append(float(mAP))
+                print(
+                    f"[{target}:q{qi}] mean over {len(galleries)} gallery splits: "
+                    f"mAP {np.mean(maps):.2%}  Rank-1 {np.mean(r1s):.2%}"
+                )
+                results[f"{target}:q{qi}"] = (float(np.mean(r1s)), float(np.mean(maps)))
+            continue
 
         q_fvs = extractor.extract(queries, verbose=True)
         g_fvs = extractor.extract(

@@ -76,9 +76,15 @@ def main(args):
     results = {}
 
     def extract_with_pooling(bundle, table, pooling):
+        # rebuild the module with the requested pooling on the same weights
+        # (the reference flips model.feature in place,
+        # evaluateCleanATModels.py:251-255); flax modules are frozen
+        # dataclasses so we clone via dataclasses.replace
+        import dataclasses as _dc
+
         pooled_module = bundle.module
-        if hasattr(pooled_module, "feature") and pooled_module.feature != pooling:
-            pooled_module = pooled_module.replace(feature=pooling)
+        if getattr(pooled_module, "feature", pooling) != pooling:
+            pooled_module = _dc.replace(pooled_module, feature=pooling)
         b = type(bundle)(
             module=pooled_module, variables=bundle.variables,
             feature_dim=bundle.feature_dim, name=bundle.name,

@@ -1,0 +1,83 @@
+"""CLI entry points driven programmatically on the virtual mesh."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+from daliid_tpu.cli import evaluate as eval_cli
+from daliid_tpu.cli import evaluate_ensemble as ens_cli
+from daliid_tpu.cli import evaluate_fusion as fus_cli
+from daliid_tpu.data import make_synthetic_dataset
+from daliid_tpu.data.registry import register_dataset
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cliroot")
+    market = root / "Market-1501-v15.09.15"
+    market.mkdir()
+    make_synthetic_dataset(
+        str(market), num_ids=4, imgs_per_id_train=3, imgs_per_id_test=2,
+        height=32, width=16, with_turbulence=False,
+    )
+    return str(root)
+
+
+def _eval_args(data_root, **over):
+    base = dict(
+        targets=["Market"], data_root=data_root, model_name="vit_small",
+        model_path=None, img_height=32, img_width=16, batch_size=16,
+        compute_dtype="float32", turbulence_dir_path=None, turbulence_strength=None,
+        multiple_output=False, mrfuse=False,
+    )
+    base.update(over)
+    return argparse.Namespace(**base)
+
+
+def test_evaluate_cli_single(data_root):
+    results = eval_cli.main(_eval_args(data_root))
+    cmc, mAP = results["Market"]
+    assert 0.0 <= mAP <= 1.0 and 0.0 <= cmc[0] <= 1.0
+
+
+def test_evaluate_cli_multisplit(data_root):
+    # register a synthetic multi-split protocol (PRCC-shaped)
+    @register_dataset("FakePRCC")
+    def _fake_prcc(root):
+        from daliid_tpu.data.registry import parse_market_duke_dir
+
+        base = os.path.join(root, "Market-1501-v15.09.15")
+        g = parse_market_duke_dir(os.path.join(base, "bounding_box_test"))
+        q = parse_market_duke_dir(os.path.join(base, "query"))
+        t = parse_market_duke_dir(os.path.join(base, "bounding_box_train"))
+        half = len(g) // 2
+        return {"train": t, "gallery": [g[np.arange(half)], g[np.arange(half, len(g))]],
+                "query": [q]}
+
+    results = eval_cli.main(_eval_args(data_root, targets=["FakePRCC"]))
+    r1, mAP = results["FakePRCC:q0"]
+    assert 0.0 <= mAP <= 1.0
+
+
+def test_ensemble_cli(data_root):
+    args = argparse.Namespace(
+        dataset="Market", data_root=data_root, model_name01="vit_small",
+        model_name02="vit_small", model_path01=None, model_path02=None,
+        img_height=32, img_width=16, batch_size=16, compute_dtype="float32",
+    )
+    results = ens_cli.main(args)
+    assert {"model01", "model02", "ensemble"} <= set(results)
+
+
+def test_fusion_cli(data_root):
+    args = argparse.Namespace(
+        dataset="Market", data_root=data_root, model_name="resnet50",
+        model_path_clean=None, model_path_distortion=None,
+        img_height=32, img_width=16, batch_size=16, compute_dtype="float32",
+        roc_version=None,
+    )
+    results = fus_cli.main(args)
+    assert {"concat", "clean", "distortion", "average",
+            "magnitude_gap", "magnitude_gmp", "magnitude_both"} <= set(results)
