@@ -16,7 +16,7 @@ import os
 import numpy as np
 from PIL import Image, ImageFilter
 
-from daliid_tpu.data.registry import ReidTable, parse_market_duke_dir
+from daliid_tpu.data.registry import parse_market_duke_dir
 
 
 def _identity_image(rng: np.random.Generator, pid: int, camid: int, h: int, w: int) -> Image.Image:

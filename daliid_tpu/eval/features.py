@@ -23,7 +23,7 @@ import functools
 import queue
 import threading
 import time
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,6 @@ sequence parallelism is deliberately out of scope).
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -37,7 +37,6 @@ from daliid_tpu import losses as L
 from daliid_tpu.augment.preprocess import decode_resize
 from daliid_tpu.augment.train_augment import _augment_one
 from daliid_tpu.augment.preprocess import IMAGENET_MEAN, IMAGENET_STD
-from daliid_tpu.data.registry import ReidTable
 from daliid_tpu.eval.features import FeatureExtractor
 from daliid_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
 from daliid_tpu.train.proxies import mine_proxies_and_centers
