@@ -31,6 +31,9 @@ BASELINE_IMG_PER_S = 885.0  # best 1-GPU gallery extraction (BASELINE.md)
 
 
 def main():
+    from daliid_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from daliid_tpu.augment.preprocess import normalize_images
     from daliid_tpu.models import get_model
     from daliid_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding

@@ -65,6 +65,9 @@ def load_bundle(model_name, model_path, img_size, dtype):
 
 
 def main(args):
+    from daliid_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     img_size = (args.img_height, args.img_width)
     dtype = getattr(jnp, args.compute_dtype)
     bundle = load_bundle(args.model_name, args.model_path, img_size, dtype)

@@ -37,6 +37,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(args):
+    from daliid_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     img_size = (args.img_height, args.img_width)
     dtype = getattr(jnp, args.compute_dtype)
     splits = load_dataset(args.dataset, root=args.data_root)

@@ -63,6 +63,9 @@ def _report(tag, validator, distmat, queries, gallery, results):
 
 
 def main(args):
+    from daliid_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     img_size = (args.img_height, args.img_width)
     dtype = getattr(jnp, args.compute_dtype)
     splits = load_dataset(args.dataset, root=args.data_root)

@@ -90,6 +90,9 @@ def config_from_args(args) -> TrainConfig:
 
 
 def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False):
+    from daliid_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     print(f"Devices: {jax.devices()}")
     dtype = getattr(jnp, cfg.compute_dtype)
 

@@ -108,6 +108,7 @@ class Trainer:
                                          # reference train path)
         num_epochs: int = 250,
         num_proxies: int = 5,
+        momentum_on_feature_extraction: bool = False,  # mainKIT.py:333-334
         mesh=None,
         compute_dtype=jnp.bfloat16,
         seed: int = 12,
@@ -124,6 +125,7 @@ class Trainer:
         self.paired_batches = sampler.kind_of_transform == 1
         self.num_epochs = num_epochs
         self.num_proxies = num_proxies
+        self.momentum_on_feature_extraction = momentum_on_feature_extraction
         self.mesh = mesh if mesh is not None else make_mesh()
         self.compute_dtype = compute_dtype
         self.decode_workers = decode_workers
@@ -273,12 +275,20 @@ class Trainer:
         self.state.opt_state.hyperparams["weight_decay"] = jnp.asarray(self.weight_decay)
         return lr
 
-    def mine_proxies(self, verbose: bool = False):
+    def mine_proxies(self, verbose: bool = False, use_momentum: bool = False):
         """Whole-train-set re-embedding + per-class mining
-        (``train_encodersKIT.py:103-156``)."""
-        self.extractor.update_variables(
-            {"params": self.state.params, "batch_stats": self.state.batch_stats}
-        )
+        (``train_encodersKIT.py:103-156``). ``use_momentum`` embeds with the
+        EMA model instead (``--momentum_on_feature_extraction``,
+        ``mainKIT.py:333-334``)."""
+        if use_momentum:
+            self.extractor.update_variables(
+                {"params": self.state.momentum_params,
+                 "batch_stats": self.state.momentum_batch_stats}
+            )
+        else:
+            self.extractor.update_variables(
+                {"params": self.state.params, "batch_stats": self.state.batch_stats}
+            )
         feats = self.extractor.extract(self.sampler.table, verbose=verbose)
         class_idx = np.asarray(
             [self.sampler.label_to_class[l] for l in self.sampler.labels], np.int32
@@ -307,7 +317,7 @@ class Trainer:
     def train_epoch(self, epoch: int, verbose: bool = False) -> Dict[str, float]:
         """One pipeline iteration: mine proxies, run all PK batches."""
         lr = self.set_epoch_hyperparams(epoch)
-        pset = self.mine_proxies(verbose=verbose)
+        pset = self.mine_proxies(verbose=verbose, use_momentum=self.momentum_on_feature_extraction)
         centers = jax.device_put(jnp.asarray(pset.centers), self._replicated)
         proxies = jax.device_put(jnp.asarray(pset.proxies), self._replicated)
         proxy_labels = jax.device_put(jnp.asarray(pset.proxy_labels), self._replicated)
