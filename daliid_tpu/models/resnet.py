@@ -130,12 +130,15 @@ class ResNet50ReID(nn.Module):
     last_stride: int = 1   # Encoders.py:321-322
     ibn: bool = False
     seg_attention: bool = False
+    return_feature_map: bool = False  # (feature_map, embedding) mode for
+                                      # extractFeatureMaps (getFeatures.py:74-108)
     dtype: jnp.dtype = jnp.float32
     feature_dim: int = 2048
 
     @nn.compact
     def __call__(self, x, seg_mask=None, train: bool = False):
         x = _resnet_trunk(self, x, train)
+        feature_map = x
         if self.seg_attention and seg_mask is not None:
             x = x * seg_mask.astype(x.dtype)  # Encoders.py:391-392
 
@@ -149,10 +152,13 @@ class ResNet50ReID(nn.Module):
             pooled = gap + gmp  # Encoders.py:341-345
 
         pooled = pooled.astype(jnp.float32)
-        return nn.BatchNorm(
+        out = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name="last_bn",
         )(pooled)
+        if self.return_feature_map:
+            return feature_map.astype(jnp.float32), out
+        return out
 
 
 class MultiPartResNet50ReID(nn.Module):

@@ -255,12 +255,15 @@ class Trainer:
                 momentum_params=ema(state.momentum_params, new_params),
                 momentum_batch_stats=ema(state.momentum_batch_stats, new_stats),
             )
+            # weight-norm diagnostic (train_encodersKIT.py:229-233)
+            weights_sum = sum(jnp.sum(p.astype(jnp.float32) ** 2) for p in jax.tree.leaves(new_params))
             metrics = {
                 "loss": total,
                 "center_loss": center_loss,
                 "proxy_loss": proxy_loss,
                 "batch_acc_bal": aux["batch_acc_bal"],
                 "avg_max_prob": aux["avg_max_prob"],
+                "weights_sum": weights_sum,
             }
             return new_state, metrics
 

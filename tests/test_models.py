@@ -36,6 +36,17 @@ def test_resnet50_last_stride():
     assert feats.shape[1:3] == (IMG[0] // 16, IMG[1] // 16)
 
 
+def test_resnet50_feature_map_mode(rng):
+    from daliid_tpu.models.resnet import ResNet50ReID
+
+    m = ResNet50ReID(return_feature_map=True)
+    x = jnp.asarray(rng.normal(size=(2, *IMG, 3)).astype(np.float32))
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    fmap, emb = m.apply(v, x, train=False)
+    assert emb.shape == (2, 2048)
+    assert fmap.shape == (2, IMG[0] // 16, IMG[1] // 16, 2048)
+
+
 def test_resnet50_pooling_modes(rng):
     x = jnp.asarray(rng.normal(size=(2, *IMG, 3)).astype(np.float32))
     out = {}
