@@ -96,13 +96,20 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
     print(f"Devices: {jax.devices()}")
     dtype = getattr(jnp, cfg.compute_dtype)
 
-    splits = load_dataset(cfg.dataset, root=cfg.data_root)
-    train_table = splits["train"]
+    # comma-separated datasets merge their training sets with densely
+    # renumbered classes (the reference's multi-target class offsetting,
+    # evaluate.py:131-174); evaluation uses the first target's query/gallery
+    names = [n for n in cfg.dataset.split(",") if n]
+    all_splits = [load_dataset(n, root=cfg.data_root) for n in names]
+    splits = all_splits[0]
+    from daliid_tpu.data.registry import merge_train_tables
+
+    train_table = merge_train_tables([s["train"] for s in all_splits])
     gallery, queries = splits["gallery"], splits["query"]
     print(f"Number of training examples: {len(train_table)} ({train_table.num_ids} ids)")
 
     turbulence_dir = cfg.turbulence_dir
-    if cfg.dataset == "Synthetic" and cfg.kind_of_transform == 1 and not turbulence_dir:
+    if names[0] == "Synthetic" and cfg.kind_of_transform == 1 and not turbulence_dir:
         from daliid_tpu.data.registry import data_root as _dr
 
         turbulence_dir = os.path.join(_dr(cfg.data_root), "Synthetic", "turbulence")
@@ -124,7 +131,7 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
         K=cfg.K,
         kind_of_transform=cfg.kind_of_transform,
         turbulence_dir=turbulence_dir,
-        dataset=cfg.dataset,
+        dataset=names[0],
         seed=cfg.seed,
     )
     trainer = Trainer(
@@ -153,7 +160,7 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
         start_epoch = last_epoch + 1
         print(f"Resumed from epoch {last_epoch}")
 
-    validator = get_validator(cfg.dataset, img_size=cfg.img_size, batch_size=cfg.extractor_batch)
+    validator = get_validator(names[0], img_size=cfg.img_size, batch_size=cfg.extractor_batch)
     if not skip_initial_eval:
         # pre-training sanity eval (mainKIT.py:87)
         trainer.extractor.update_variables(trainer.online_variables())
@@ -178,7 +185,7 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
             trainer.extractor.update_variables(trainer.momentum_variables())
             cmc_m, mAP_m, _ = validator.validate(queries, gallery, trainer.extractor, verbose=True)
 
-            if cfg.dataset == "MSMT17" and "val" in splits:
+            if names[0] == "MSMT17" and "val" in splits:
                 trainer.extractor.update_variables(trainer.online_variables())
                 msmt17_balanced_accuracy(train_table, splits["val"], trainer.extractor)
 

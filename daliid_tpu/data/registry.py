@@ -379,6 +379,18 @@ def load_dataset(name: str, root: str | None = None) -> Dict[str, ReidTable]:
     return splits
 
 
+def merge_train_tables(tables: Sequence[ReidTable]) -> ReidTable:
+    """Concatenate training tables with densely renumbered, offset classes —
+    the reference's multi-target class offsetting (``evaluate.py:131-174``)."""
+    merged = None
+    offset = 0
+    for t in tables:
+        r = t.relabeled(offset=offset)
+        offset += r.num_ids
+        merged = r if merged is None else merged.concat(r)
+    return merged
+
+
 def load_multiple_datasets(names: Sequence[str], root: str | None = None):
     """Per-target splits, training tables kept separate for the caller to
     merge (``datasetUtils.py:283-307``)."""

@@ -325,8 +325,10 @@ class Trainer:
         proxies = jax.device_put(jnp.asarray(pset.proxies), self._replicated)
         proxy_labels = jax.device_put(jnp.asarray(pset.proxy_labels), self._replicated)
 
-        totals: Dict[str, float] = {}
         n_batches = 0
+        step_metrics = []  # device values; fetched once after the loop so no
+                           # per-step host sync serializes dispatch
+        epoch_arr = jax.device_put(jnp.float32(epoch), self._replicated)
         t0 = time.time()
         # prefetch decode of the next batch while the device steps
         batches = list(self.sampler.epoch())
@@ -356,13 +358,18 @@ class Trainer:
                     centers,
                     proxies,
                     proxy_labels,
-                    jnp.float32(epoch),
+                    epoch_arr,
                     step_key,
                 )
                 n_batches += 1
-                for k, v in metrics.items():
-                    totals[k] = totals.get(k, 0.0) + float(v)
+                step_metrics.append(metrics)
 
+        # single host sync for the whole epoch's diagnostics
+        step_metrics = jax.device_get(step_metrics)
+        totals: Dict[str, float] = {}
+        for metrics in step_metrics:
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
         means = {k: v / max(n_batches, 1) for k, v in totals.items()}
         means["lr"] = lr
         means["epoch_seconds"] = time.time() - t0

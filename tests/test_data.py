@@ -83,6 +83,19 @@ def test_registry_with_root(synth, tmp_path):
     assert "Market" in stats
 
 
+def test_merge_train_tables(synth):
+    from daliid_tpu.data.registry import merge_train_tables
+
+    splits, _ = synth
+    a, b = splits["train"], splits["gallery"]
+    merged = merge_train_tables([a, b])
+    assert len(merged) == len(a) + len(b)
+    # classes are disjoint across the two sources
+    assert merged.num_ids == a.num_ids + b.num_ids
+    assert merged.pids.min() == 0
+    assert merged.pids.max() == merged.num_ids - 1
+
+
 def test_unknown_dataset_raises():
     with pytest.raises(KeyError):
         load_dataset("NoSuchDataset")
