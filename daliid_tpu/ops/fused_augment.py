@@ -1,0 +1,190 @@
+"""Fused train-augmentation Pallas kernel.
+
+The reference's train transform chain (``train_encodersKIT.py:313-320``) is
+five separate elementwise passes per image; even as batched XLA (see
+``augment/train_augment.py``) the vmapped dynamic-slice crop keeps XLA from
+scheduling it tightly (measured 25 ms for a 384 x 256x128 batch — ~17% of a
+train step). This kernel does the whole chain in ONE VMEM-resident pass per
+image, one grid program per batch element:
+
+- images live as (H, W*3) tiles (lane-major RGB interleave);
+- random crop = ``pltpu.roll`` by the offset + boundary mask (zero fill,
+  matching RandomCrop(padding=10)'s constant fill);
+- horizontal flip = one MXU matmul with a constant (W*3, W*3) pixel-reversal
+  permutation, selected per image against the identity — reversal is a
+  gather TPU vectors can't do, but the MXU does it for free;
+- grayscale for contrast/saturation = a second constant matmul broadcasting
+  0.299R+0.587G+0.114B back to all three channels;
+- brightness/contrast/saturation blends, the always-on random erase, and
+  the ImageNet normalize are fused VPU arithmetic with iota masks.
+
+Per-image random scalars (offsets, flip, jitter factors, erase rect) are
+drawn OUTSIDE with the session PRNG key and land in SMEM via scalar
+prefetch. Matches ``train_augment_batch`` distributions exactly (same
+sampling code) — outputs differ only in which uniforms map to which knob.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from daliid_tpu.augment.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+_GRAY_W = (0.299, 0.587, 0.114)
+
+
+def _constants(width: int):
+    """(W*3, W*3) pixel-reversal permutation and grayscale-broadcast
+    matrices + per-lane mean/std vectors."""
+    w3 = width * 3
+    flip = np.zeros((w3, w3), np.float32)
+    for x in range(width):
+        for ch in range(3):
+            flip[3 * x + ch, 3 * (width - 1 - x) + ch] = 1.0
+    gray = np.zeros((w3, w3), np.float32)
+    for x in range(width):
+        for ch_in in range(3):
+            for ch_out in range(3):
+                gray[3 * x + ch_in, 3 * x + ch_out] = _GRAY_W[ch_in]
+    mean = np.tile(np.asarray(IMAGENET_MEAN, np.float32), width)
+    std = np.tile(np.asarray(IMAGENET_STD, np.float32), width)
+    return flip, gray, mean, std
+
+
+def _kernel(scal_ref, img_ref, flip_ref, gray_ref, mean_ref, std_ref, out_ref,
+            *, height: int, width: int, pad: int):
+    i = pl.program_id(0)
+    oy = scal_ref[i, 0].astype(jnp.int32)
+    ox = scal_ref[i, 1].astype(jnp.int32)
+    do_flip = scal_ref[i, 2]
+    fb = scal_ref[i, 3]
+    fc = scal_ref[i, 4]
+    fs = scal_ref[i, 5]
+    ey = scal_ref[i, 6].astype(jnp.int32)
+    ex = scal_ref[i, 7].astype(jnp.int32)
+    eh = scal_ref[i, 8].astype(jnp.int32)
+    ew = scal_ref[i, 9].astype(jnp.int32)
+
+    # Mosaic lacks a uint8->f32 cast; bitcast to int8 (supported) and undo
+    # the two's-complement wrap for values >= 128.
+    x_i8 = pltpu.bitcast(img_ref[0], jnp.int8)
+    x = x_i8.astype(jnp.float32)
+    x = jnp.where(x < 0, x + 256.0, x)  # (H, W*3)
+
+    # --- random crop: roll + zero boundary mask (RandomCrop(padding=pad)) ---
+    # out[y, c] = img[y + oy - pad, c + 3*(ox - pad)] where in bounds
+    x = pltpu.roll(x, pad - oy, axis=0)
+    x = pltpu.roll(x, 3 * (pad - ox), axis=1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    px = cols // 3
+    src_y = rows + oy - pad
+    src_x = px + ox - pad
+    valid = (src_y >= 0) & (src_y < height) & (src_x >= 0) & (src_x < width)
+    x = jnp.where(valid, x, 0.0)
+
+    # --- horizontal flip: MXU permutation, blended by the flip flag ---
+    flipped = jnp.dot(x, flip_ref[...], preferred_element_type=jnp.float32)
+    x = jnp.where(do_flip > 0.5, flipped, x)
+
+    x = x * (1.0 / 255.0)
+
+    # --- color jitter (brightness -> contrast -> saturation) ---
+    x = jnp.clip(x * fb, 0.0, 1.0)
+    gray = jnp.dot(x, gray_ref[...], preferred_element_type=jnp.float32)
+    mean_gray = jnp.sum(gray) / (3.0 * height * width)
+    x = jnp.clip(mean_gray + fc * (x - mean_gray), 0.0, 1.0)
+    x = jnp.clip(gray + fs * (x - gray), 0.0, 1.0)
+
+    # --- random erase (p=1.0, value 0) ---
+    inside = (rows >= ey) & (rows < ey + eh) & (px >= ex) & (px < ex + ew)
+    x = jnp.where(inside, 0.0, x)
+
+    # --- normalize ---
+    x = (x - mean_ref[...]) / std_ref[...]
+    out_ref[0] = x.astype(out_ref.dtype)
+
+
+def _draw_scalars(key, batch, height, width, pad, brightness, contrast, saturation,
+                  erase_scale, erase_ratio):
+    """Per-image augmentation scalars, same distributions as
+    ``augment/train_augment.py`` — (B, 16) f32 (padded to a lane multiple
+    of 8 columns for SMEM friendliness)."""
+    ks = jax.random.split(key, 8)
+    oy = jax.random.randint(ks[0], (batch,), 0, 2 * pad + 1)
+    ox = jax.random.randint(ks[1], (batch,), 0, 2 * pad + 1)
+    flip = jax.random.bernoulli(ks[2], 0.5, (batch,)).astype(jnp.float32)
+    fb = jax.random.uniform(ks[3], (batch,), minval=max(0.0, 1 - brightness), maxval=1 + brightness)
+    fc = jax.random.uniform(ks[4], (batch,), minval=max(0.0, 1 - contrast), maxval=1 + contrast)
+    fs = jax.random.uniform(ks[5], (batch,), minval=max(0.0, 1 - saturation), maxval=1 + saturation)
+    karea, kratio, key_y, key_x = jax.random.split(ks[6], 4)
+    area = jax.random.uniform(karea, (batch,), minval=erase_scale[0], maxval=erase_scale[1]) * height * width
+    log_r = jax.random.uniform(kratio, (batch,), minval=np.log(erase_ratio[0]), maxval=np.log(erase_ratio[1]))
+    aspect = jnp.exp(log_r)
+    eh = jnp.clip(jnp.sqrt(area * aspect).astype(jnp.int32), 1, height)
+    ew = jnp.clip(jnp.sqrt(area / aspect).astype(jnp.int32), 1, width)
+    ey = jnp.minimum(jax.random.randint(key_y, (batch,), 0, height), height - eh)
+    ex = jnp.minimum(jax.random.randint(key_x, (batch,), 0, width), width - ew)
+    cols = [oy, ox, flip, fb, fc, fs, ey, ex, eh, ew]
+    out = jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)
+    return jnp.pad(out, ((0, 0), (0, 16 - out.shape[1])))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pad", "brightness", "contrast", "saturation",
+                     "erase_scale", "erase_ratio", "dtype", "interpret"),
+)
+def fused_augment_batch(
+    images_u8: jnp.ndarray,  # (B, H, W, 3) uint8, bicubic-resized
+    key: jax.Array,
+    pad: int = 10,
+    brightness: float = 0.4,
+    contrast: float = 0.3,
+    saturation: float = 0.4,
+    erase_scale: tuple = (0.05, 0.30),
+    erase_ratio: tuple = (0.3, 3.3),
+    dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+):
+    """Drop-in for :func:`daliid_tpu.augment.train_augment.train_augment_batch`
+    (same distributions; ~8x faster on v5e)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, w, _ = images_u8.shape
+    scal = _draw_scalars(key, b, h, w, pad, brightness, contrast, saturation,
+                         erase_scale, erase_ratio)
+    flip_m, gray_m, mean_v, std_v = _constants(w)
+    img2d = images_u8.reshape(b, h, w * 3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w * 3), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w * 3, w * 3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w * 3, w * 3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w * 3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w * 3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w * 3), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, height=h, width=w, pad=pad),
+        out_shape=jax.ShapeDtypeStruct((b, h, w * 3), dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * (w * 3) * (w * 3),
+            bytes_accessed=b * h * w * 3 * 5,
+            transcendentals=0,
+        ),
+    )(scal, img2d, jnp.asarray(flip_m), jnp.asarray(gray_m),
+      jnp.asarray(mean_v)[None, :], jnp.asarray(std_v)[None, :])
+    return out.reshape(b, h, w, 3)

@@ -177,19 +177,35 @@ class Trainer:
         # Augmentation is dispatched as its OWN jit: measured on v5e, fusing
         # the vmapped crop/jitter/erase into the grad program makes XLA
         # schedule it ~5x slower (122 ms vs 25 ms standalone for a 384
-        # batch); two dispatches cost ~150 ms total vs ~290 ms fused.
-        @functools.partial(
-            jax.jit,
-            in_shardings=(self._batch_shard, None),
-            out_shardings=self._batch_shard,
-        )
-        def augment(images_u8, key):
-            keys = jax.random.split(key, images_u8.shape[0])
-            return jax.vmap(
-                lambda im, k: _augment_one(
-                    im, k, 10, 0.4, 0.3, 0.4, (0.05, 0.30), (0.3, 3.3), mean, std
-                )
-            )(images_u8, keys).astype(dtype)
+        # batch). On TPU the fused Pallas kernel replaces the XLA chain
+        # entirely (2.3 ms vs 25 ms for the same batch).
+        use_pallas_augment = jax.default_backend() == "tpu" and self.mesh.devices.size == 1
+
+        if use_pallas_augment:
+            from daliid_tpu.ops.fused_augment import fused_augment_batch
+
+            @functools.partial(
+                jax.jit,
+                in_shardings=(self._batch_shard, None),
+                out_shardings=self._batch_shard,
+            )
+            def augment(images_u8, key):
+                return fused_augment_batch(images_u8, key, dtype=dtype, interpret=False)
+
+        else:
+
+            @functools.partial(
+                jax.jit,
+                in_shardings=(self._batch_shard, None),
+                out_shardings=self._batch_shard,
+            )
+            def augment(images_u8, key):
+                keys = jax.random.split(key, images_u8.shape[0])
+                return jax.vmap(
+                    lambda im, k: _augment_one(
+                        im, k, 10, 0.4, 0.3, 0.4, (0.05, 0.30), (0.3, 3.3), mean, std
+                    )
+                )(images_u8, keys).astype(dtype)
 
         self._augment = augment
 

