@@ -1,0 +1,92 @@
+"""Identification-service CLI: enroll a gallery, search probes.
+
+The serving counterpart of the batch eval CLIs: build a device-resident
+sharded gallery index from a dataset split (or an .npz of embeddings), then
+answer probe queries with ranked identities — the deployment shape of
+``evaluate.py``'s extract→distmat→rank flow.
+
+Examples:
+    # enroll + query a dataset's gallery with its query split
+    python -m daliid_tpu.cli.search --dataset Market --model_name resnet50 \
+        --model_path weights.npz --topk 10
+
+    # save gallery embeddings for reuse
+    python -m daliid_tpu.cli.search --dataset Market --save_index gallery.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from daliid_tpu.cli.evaluate import load_bundle
+from daliid_tpu.data.registry import load_dataset
+from daliid_tpu.eval.features import FeatureExtractor
+from daliid_tpu.eval.matcher import GalleryIndex
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DaliID-TPU gallery search service")
+    p.add_argument("--dataset", type=str, required=True)
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--model_name", type=str, default="resnet50")
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--img_height", type=int, default=256)
+    p.add_argument("--img_width", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--save_index", type=str, default=None, help="save gallery embeddings to .npz")
+    p.add_argument("--load_index", type=str, default=None, help="load gallery embeddings from .npz")
+    p.add_argument("--max_probes", type=int, default=0, help="limit probes (0 = all)")
+    return p
+
+
+def main(args):
+    from daliid_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    img_size = (args.img_height, args.img_width)
+    dtype = getattr(jnp, args.compute_dtype)
+    splits = load_dataset(args.dataset, root=args.data_root)
+    gallery, queries = splits["gallery"], splits["query"]
+
+    bundle = load_bundle(args.model_name, args.model_path, img_size, dtype)
+    extractor = FeatureExtractor(bundle, img_size=img_size, batch_size=args.batch_size)
+
+    if args.load_index:
+        data = np.load(args.load_index)
+        g_fvs, g_pids = data["embeddings"], data["pids"]
+        print(f"Loaded index: {g_fvs.shape[0]} entries from {args.load_index}")
+    else:
+        g_fvs = extractor.extract(gallery, verbose=True)
+        g_pids = gallery.pids
+        if args.save_index:
+            np.savez(args.save_index, embeddings=g_fvs, pids=g_pids)
+            print(f"Saved index ({g_fvs.shape[0]} entries) to {args.save_index}")
+
+    index = GalleryIndex(g_fvs, gallery_pids=g_pids)
+
+    probes = queries if not args.max_probes else queries[np.arange(args.max_probes)]
+    q_fvs = extractor.extract(probes, verbose=True)
+    import time
+
+    t0 = time.time()
+    sims, ids, pids = index.search(q_fvs, k=args.topk)
+    dt = time.time() - t0
+    top1_acc = float(np.mean(pids[:, 0] == probes.pids))
+    print(
+        f"searched {len(probes)} probes over {index.num_gallery} gallery in "
+        f"{dt * 1e3:.1f} ms ({len(probes) / max(dt, 1e-9):.0f} probes/s); "
+        f"top-1 identity accuracy {top1_acc:.2%}"
+    )
+    for i in range(min(3, len(probes))):
+        print(f"probe {i} (pid {probes.pids[i]}): top-{args.topk} pids {pids[i].tolist()}")
+    return sims, ids, pids
+
+
+if __name__ == "__main__":
+    main(build_argparser().parse_args())
