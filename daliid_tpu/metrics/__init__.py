@@ -2,6 +2,7 @@ from daliid_tpu.metrics.ranking import (
     evaluate_rank,
     evaluate_rank_jax,
     evaluate_rank_numpy,
+    evaluate_rank_sharded,
     cosine_distance_matrix,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "evaluate_rank",
     "evaluate_rank_jax",
     "evaluate_rank_numpy",
+    "evaluate_rank_sharded",
     "cosine_distance_matrix",
 ]

@@ -126,6 +126,75 @@ def evaluate_rank_jax(
     return cmc, mAP
 
 
+def evaluate_rank_sharded(
+    query_fvs,
+    gallery_fvs,
+    q_pids,
+    g_pids,
+    q_camids,
+    g_camids,
+    mesh=None,
+    max_rank: int = 50,
+):
+    """Fully sharded end-to-end ranking: queries shard over the ``data``
+    mesh axis; every device computes its queries' distance rows against the
+    replicated gallery, ranks them locally, and the CMC/AP sums merge with
+    one ``psum`` — the SPMD replacement for the reference's CPU
+    gather-then-Cython flow (``evaluate.py:291`` + ``rank_cy``).
+
+    Takes raw embeddings (normalized internally). Scales to DeepChange-size
+    query sets by never materializing the full (Q, G) matrix on one device.
+    """
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as P
+
+    from daliid_tpu.parallel.mesh import make_mesh
+
+    mesh = mesh if mesh is not None else make_mesh()
+    n_dev = mesh.devices.size
+
+    q = np.asarray(query_fvs, np.float32)
+    q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+    g = np.asarray(gallery_fvs, np.float32)
+    g = g / (np.linalg.norm(g, axis=1, keepdims=True) + 1e-12)
+    num_q = q.shape[0]
+    pad = (-num_q) % n_dev
+    q = np.pad(q, ((0, pad), (0, 0)))
+    qp = np.pad(np.asarray(q_pids, np.int32), (0, pad), constant_values=-1)
+    qc = np.pad(np.asarray(q_camids, np.int32), (0, pad), constant_values=-1)
+    gp = np.asarray(g_pids, np.int32)
+    gc = np.asarray(g_camids, np.int32)
+
+    def local(q_l, qp_l, qc_l, g_r, gp_r, gc_r):
+        dist = 1.0 - jnp.dot(q_l, g_r.T, preferred_element_type=jnp.float32)
+        cmc_rows, ap, valid = _rank_chunk(dist, qp_l, qc_l, gp_r, gc_r, max_rank)
+        valid_f = valid.astype(jnp.float32)
+        cmc_sum = jnp.sum(cmc_rows * valid_f[:, None], axis=0)
+        ap_sum = jnp.sum(ap * valid_f)
+        n_valid = jnp.sum(valid_f)
+        cmc_sum = jax.lax.psum(cmc_sum, "data")
+        ap_sum = jax.lax.psum(ap_sum, "data")
+        n_valid = jax.lax.psum(n_valid, "data")
+        return cmc_sum, ap_sum, n_valid
+
+    fn = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("data", None), P("data"), P("data"), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+    cmc_sum, ap_sum, n_valid = fn(
+        jnp.asarray(q), jnp.asarray(qp), jnp.asarray(qc),
+        jnp.asarray(g), jnp.asarray(gp), jnp.asarray(gc),
+    )
+    denom = max(float(n_valid), 1.0)
+    return np.asarray(cmc_sum) / denom, float(ap_sum) / denom
+
+
 def evaluate_rank_numpy(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=50):
     """Pure-numpy per-query reference of the identical protocol (host scan).
 

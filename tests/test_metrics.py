@@ -9,6 +9,7 @@ from daliid_tpu.metrics import (
     evaluate_rank,
     evaluate_rank_jax,
     evaluate_rank_numpy,
+    evaluate_rank_sharded,
 )
 from daliid_tpu.metrics.cpp_ref import evaluate_rank_cpp
 
@@ -104,6 +105,46 @@ def test_dispatch_backends_agree(rng):
     for b in ("numpy", "cpp"):
         np.testing.assert_allclose(out["jax"][0], out[b][0], atol=1e-6)
         assert out["jax"][1] == pytest.approx(out[b][1], abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_sharded_ranking_matches_numpy(seed):
+    # end-to-end sharded path (queries split over the 8-device mesh) must
+    # match the host reference computed from the same embeddings
+    rng = np.random.default_rng(seed)
+    num_q, num_g, d = 37, 91, 16  # num_q not divisible by 8 → padding path
+    q = rng.normal(size=(num_q, d)).astype(np.float32)
+    g = rng.normal(size=(num_g, d)).astype(np.float32)
+    q_pids = rng.integers(0, 9, num_q)
+    g_pids = rng.integers(0, 9, num_g)
+    q_camids = rng.integers(0, 3, num_q)
+    g_camids = rng.integers(0, 3, num_g)
+
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    gn = g / np.linalg.norm(g, axis=1, keepdims=True)
+    distmat = (1.0 - qn @ gn.T).astype(np.float32)
+    cmc_n, map_n = evaluate_rank_numpy(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=15)
+
+    cmc_s, map_s = evaluate_rank_sharded(
+        q, g, q_pids, g_pids, q_camids, g_camids, max_rank=15
+    )
+    np.testing.assert_allclose(cmc_s, cmc_n, atol=1e-5)
+    assert map_s == pytest.approx(map_n, abs=1e-5)
+
+
+def test_max_rank_exceeds_gallery():
+    # gallery smaller than max_rank: CMC extends with its final value
+    distmat = np.array([[0.2, 0.1]], dtype=np.float32)
+    q_pids, q_camids = np.array([0]), np.array([0])
+    g_pids, g_camids = np.array([1, 0]), np.array([1, 1])
+    cmc_n, map_n = evaluate_rank_numpy(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=5)
+    cmc_j, map_j = evaluate_rank_jax(
+        jnp.asarray(distmat), jnp.asarray(q_pids), jnp.asarray(g_pids),
+        jnp.asarray(q_camids), jnp.asarray(g_camids), max_rank=5,
+    )
+    np.testing.assert_allclose(np.asarray(cmc_j), cmc_n, atol=1e-6)
+    assert map_j == pytest.approx(map_n, abs=1e-6)
+    assert cmc_n[-1] == 1.0
 
 
 def test_cosine_distance_matrix_normalizes():
