@@ -59,7 +59,12 @@ class FeatureExtractor:
         n_dev = self.mesh.devices.size
         self.batch_size = max(n_dev, (batch_size // n_dev) * n_dev)
         self.compute_dtype = compute_dtype
-        self.decode_workers = decode_workers
+        # clamp to the host's parallelism: oversubscribing a small host adds
+        # contention (decode throughput measured WORSE with 16 threads on a
+        # 1-core container than single-threaded)
+        import os as _os
+
+        self.decode_workers = max(1, min(decode_workers, 2 * (_os.cpu_count() or 1)))
         self._batch_shard = batch_sharding(self.mesh)
         self._replicated = replicated_sharding(self.mesh)
         self._variables = jax.device_put(bundle.variables, self._replicated)
@@ -83,6 +88,14 @@ class FeatureExtractor:
 
     def _decode_paths(self, paths: Sequence[str]) -> np.ndarray:
         h, w = self.img_size
+        # fast path: native C++ threaded libjpeg decode+resize
+        # (data/cpp/loader.cpp); PIL threads otherwise. Non-JPEG inputs
+        # (e.g. png) go through PIL.
+        from daliid_tpu.data.native_loader import decode_resize_batch, native_loader_available
+
+        if native_loader_available() and all(str(p).lower().endswith((".jpg", ".jpeg")) for p in paths):
+            return decode_resize_batch(paths, h, w, num_threads=self.decode_workers)
+
         out = np.empty((len(paths), h, w, 3), dtype=np.uint8)
 
         def work(i):

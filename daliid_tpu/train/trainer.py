@@ -128,7 +128,9 @@ class Trainer:
         self.momentum_on_feature_extraction = momentum_on_feature_extraction
         self.mesh = mesh if mesh is not None else make_mesh()
         self.compute_dtype = compute_dtype
-        self.decode_workers = decode_workers
+        import os as _os
+
+        self.decode_workers = max(1, min(decode_workers, 2 * (_os.cpu_count() or 1)))
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.key(seed)
         self._lr_values = lr_schedule_values(base_lr, num_epochs)
@@ -336,6 +338,11 @@ class Trainer:
 
     def _decode_batch(self, paths) -> np.ndarray:
         h, w = self.img_size
+        from daliid_tpu.data.native_loader import decode_resize_batch, native_loader_available
+
+        if native_loader_available() and all(str(p).lower().endswith((".jpg", ".jpeg")) for p in paths):
+            return decode_resize_batch(paths, h, w, num_threads=self.decode_workers)
+
         out = np.empty((len(paths), h, w, 3), np.uint8)
 
         def work(i):
