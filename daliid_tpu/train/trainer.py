@@ -250,6 +250,17 @@ class Trainer:
                     mutable=["batch_stats"],
                     rngs={"droppath": droppath_key},  # stochastic depth (ViT)
                 )
+                # classifier-headed models (densenet121(num_classes>0),
+                # Encoders.py:633-637) return (embedding, logits) in train
+                # mode: add the distortion-weighted CE on the logits
+                # (BatchWeightedCrossEntropyLoss, losses.py:152-187)
+                id_loss = 0.0
+                if isinstance(out, tuple) and len(out) == 2:
+                    out, logits = out
+                    probs = jax.nn.softmax(logits, axis=-1)
+                    id_loss, _ = L.weighted_cross_entropy_loss(
+                        probs, labels, distortions, epoch, num_epochs
+                    )
                 fvs = out / (jnp.linalg.norm(out, axis=1, keepdims=True) + 1e-9)
                 center_loss, aux = L.weighted_center_loss(
                     fvs, labels, distortions, centers, epoch, num_epochs, tau=tau, sample_mask=mask
@@ -258,7 +269,7 @@ class Trainer:
                     fvs, labels, distortions, proxies, proxy_labels, epoch, num_epochs,
                     tau=tau, sample_mask=mask,
                 )
-                total = center_loss + lambda_proxy * proxy_loss
+                total = center_loss + lambda_proxy * proxy_loss + id_loss
                 if lambda_distortion > 0.0 and paired:
                     # adjacent [clean, distorted] slots (sampler emission
                     # order, train_encodersKIT.py:382-394)

@@ -148,6 +148,41 @@ def test_trainer_ema_beta_zero_tracks_online(synth):
         np.testing.assert_allclose(p, m, rtol=1e-6)
 
 
+def test_trainer_classifier_head_model(synth):
+    """Models returning (embedding, logits) in train mode (densenet-style,
+    Encoders.py:633-637) add the distortion-weighted CE to the loss."""
+    import flax.linen as nn
+
+    splits, _ = synth
+    t = splits["train"]
+    num_classes = t.num_ids
+
+    class TinyClassified(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = jnp.mean(x, axis=(1, 2))
+            h = nn.Dense(16, name="proj")(h)
+            h = nn.BatchNorm(use_running_average=not train, name="bn")(h)
+            if train:
+                logits = nn.Dense(num_classes, use_bias=False, name="cls")(h)
+                return h, logits
+            return h
+
+    m = TinyClassified()
+    v = m.init({"params": jax.random.key(0)}, jnp.zeros((1, *IMG, 3)), train=True)
+    from daliid_tpu.models.factory import ModelBundle
+
+    online = ModelBundle(module=m, variables=v, feature_dim=16, name="tinycls")
+    momentum = ModelBundle(module=m, variables=jax.tree.map(jnp.copy, v), feature_dim=16, name="tinycls")
+    sampler = PKBatchSampler(t, t.pids, P=3, K=2, kind_of_transform=0, seed=0)
+    trainer = Trainer(
+        online, momentum, sampler, img_size=IMG, num_epochs=4, base_lr=1e-3,
+        compute_dtype=jnp.float32, extractor_batch=16,
+    )
+    metrics = trainer.train_epoch(1)
+    assert np.isfinite(metrics["loss"])
+
+
 def test_trainer_lr_applied(synth):
     splits, turb = synth
     t = splits["train"]
