@@ -20,7 +20,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from daliid_tpu.config import TrainConfig
 from daliid_tpu.data.registry import load_dataset

@@ -11,7 +11,6 @@ remains the fallback (and the parity oracle — outputs agree to ~1/255).
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 import threading

@@ -145,8 +145,6 @@ def evaluate_rank_sharded(
     Takes raw embeddings (normalized internally). Scales to DeepChange-size
     query sets by never materializing the full (Q, G) matrix on one device.
     """
-    import functools as _ft
-
     from jax.sharding import PartitionSpec as P
 
     from daliid_tpu.parallel.mesh import make_mesh

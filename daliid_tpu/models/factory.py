@@ -21,7 +21,7 @@ from daliid_tpu.models.efficientnet import EfficientNetB0ReID
 from daliid_tpu.models.inception import InceptionV3ReID
 from daliid_tpu.models.osnet import OSNetReID
 from daliid_tpu.models.resnet import DualResNet50ReID, ResNet50ReID
-from daliid_tpu.models.vit import ViTReID, transreid_base, vit_base_reid, vit_small_reid
+from daliid_tpu.models.vit import transreid_base, vit_base_reid, vit_small_reid
 
 
 @dataclasses.dataclass

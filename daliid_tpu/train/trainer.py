@@ -26,7 +26,7 @@ import concurrent.futures as cf
 import dataclasses
 import functools
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
