@@ -44,6 +44,7 @@ class PKBatch:
     distortions: np.ndarray     # (B,) int32 in [0, 5]
     mask: np.ndarray            # (B,) bool — False on padding slots
     pids: np.ndarray            # (B,) original identity labels (diagnostics)
+    camids: np.ndarray          # (B,) camera ids (SIE conditioning)
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -104,6 +105,7 @@ class PKBatchSampler:
         distortions: List[int] = []
         mask: List[bool] = []
         pids: List[int] = []
+        camids: List[int] = []
         for label in batch_labels:
             rows = self._class_rows[label]
             take = min(len(rows), self.K)
@@ -115,6 +117,7 @@ class PKBatchSampler:
                 img_path = str(self.table.paths[row])
                 cls = self.label_to_class[label]
                 pid = int(self.table.pids[row])
+                camid = int(self.table.camids[row])
                 if self.kind_of_transform == 1:
                     s = int(self._rng.choice(self.strengths))
                     at_path = turbulence_path(img_path, self.turbulence_dir, s, self.dataset)
@@ -123,16 +126,19 @@ class PKBatchSampler:
                     distortions += [0, s]
                     mask += [valid, valid]
                     pids += [pid, pid]
+                    camids += [camid, camid]
                 else:
                     paths.append(img_path)
                     labels.append(cls)
                     distortions.append(0)
                     mask.append(valid)
                     pids.append(pid)
+                    camids.append(camid)
         return PKBatch(
             paths=paths,
             labels=np.asarray(labels, np.int32),
             distortions=np.asarray(distortions, np.int32),
             mask=np.asarray(mask, bool),
             pids=np.asarray(pids, np.int64),
+            camids=np.asarray(camids, np.int32),
         )

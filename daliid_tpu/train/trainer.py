@@ -116,6 +116,13 @@ class Trainer:
         extractor_batch: int = 512,
     ):
         self.module = bundle_online.module
+        import inspect as _inspect
+
+        # SIE-conditioned backbones (TransReID, vit.py camera/view embeddings)
+        # take camera_ids in their forward; detect once and plumb batch camids
+        self._takes_camera_ids = "camera_ids" in _inspect.signature(
+            type(self.module).__call__
+        ).parameters
         self.sampler = sampler
         self.img_size = tuple(img_size)
         self.tau = tau
@@ -210,6 +217,7 @@ class Trainer:
                 )(images_u8, keys).astype(dtype)
 
         self._augment = augment
+        takes_camera_ids = self._takes_camera_ids
 
         @functools.partial(
             jax.jit,
@@ -220,6 +228,7 @@ class Trainer:
                 self._batch_shard,  # labels
                 self._batch_shard,  # distortions
                 self._batch_shard,  # mask
+                self._batch_shard,  # camids
                 self._replicated,   # centers
                 self._replicated,   # proxies
                 self._replicated,   # proxy_labels
@@ -234,6 +243,7 @@ class Trainer:
             labels,
             distortions,
             mask,
+            camids,
             centers,
             proxies,
             proxy_labels,
@@ -243,12 +253,14 @@ class Trainer:
             _, droppath_key = jax.random.split(key)
 
             def loss_fn(params):
+                extra = {"camera_ids": camids} if takes_camera_ids else {}
                 out, updates = module.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     images,
                     train=True,
                     mutable=["batch_stats"],
                     rngs={"droppath": droppath_key},  # stochastic depth (ViT)
+                    **extra,
                 )
                 # classifier-headed models (densenet121(num_classes>0),
                 # Encoders.py:633-637) return (embedding, logits) in train
@@ -389,11 +401,13 @@ class Trainer:
                 n_dev = self.mesh.devices.size
                 pad = (-len(images_u8)) % n_dev
                 labels, distortions, mask = batch.labels, batch.distortions, batch.mask
+                camids = batch.camids
                 if pad:
                     images_u8 = np.concatenate([images_u8, np.repeat(images_u8[:1], pad, 0)])
                     labels = np.concatenate([labels, np.zeros(pad, np.int32)])
                     distortions = np.concatenate([distortions, np.zeros(pad, np.int32)])
                     mask = np.concatenate([mask, np.zeros(pad, bool)])
+                    camids = np.concatenate([camids, np.zeros(pad, np.int32)])
                 self._key, step_key = jax.random.split(self._key)
                 images = self._augment(
                     jax.device_put(images_u8, self._batch_shard), step_key
@@ -404,6 +418,7 @@ class Trainer:
                     jax.device_put(labels, self._batch_shard),
                     jax.device_put(distortions, self._batch_shard),
                     jax.device_put(mask, self._batch_shard),
+                    jax.device_put(camids, self._batch_shard),
                     centers,
                     proxies,
                     proxy_labels,

@@ -148,6 +148,29 @@ def test_trainer_ema_beta_zero_tracks_online(synth):
         np.testing.assert_allclose(p, m, rtol=1e-6)
 
 
+def test_trainer_sie_camera_conditioning(synth):
+    """SIE-conditioned ViTs receive the batch camera ids during training."""
+    splits, _ = synth
+    t = splits["train"]
+    num_cams = int(t.camids.max()) + 1
+    m = ViTReID(img_size=IMG, patch_size=8, patch_stride=8, embed_dim=32, depth=1,
+                num_heads=2, drop_path_rate=0.0, sie_cameras=num_cams)
+    v = m.init({"params": jax.random.key(0)}, jnp.zeros((1, *IMG, 3)),
+               camera_ids=jnp.zeros(1, jnp.int32), train=False)
+    from daliid_tpu.models.factory import ModelBundle
+
+    online = ModelBundle(module=m, variables=v, feature_dim=32, name="sievit")
+    momentum = ModelBundle(module=m, variables=jax.tree.map(jnp.copy, v), feature_dim=32, name="sievit")
+    sampler = PKBatchSampler(t, t.pids, P=3, K=2, kind_of_transform=0, seed=0)
+    trainer = Trainer(
+        online, momentum, sampler, img_size=IMG, num_epochs=2, base_lr=1e-3,
+        compute_dtype=jnp.float32, extractor_batch=16,
+    )
+    assert trainer._takes_camera_ids
+    metrics = trainer.train_epoch(1)
+    assert np.isfinite(metrics["loss"])
+
+
 def test_trainer_classifier_head_model(synth):
     """Models returning (embedding, logits) in train mode (densenet-style,
     Encoders.py:633-637) add the distortion-weighted CE to the loss."""
