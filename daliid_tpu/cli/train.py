@@ -212,6 +212,8 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
             print(f"Best R1: {best_r1 * 100:.2f} and best iter: {best_iter}")
 
     total = time.time() - t0_pipeline
+    # phase totals (the reference's accounting prints, mainKIT.py:193-201)
+    print(trainer.timer.report())
     print(f"Total pipeline Time: {total:.1f}s ({total / max(cfg.num_epochs - start_epoch + 1, 1):.1f}s/epoch)")
     ckpt.close()
     return best_r1, best_iter

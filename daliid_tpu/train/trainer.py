@@ -41,6 +41,7 @@ from daliid_tpu.eval.features import FeatureExtractor
 from daliid_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
 from daliid_tpu.train.proxies import mine_proxies_and_centers
 from daliid_tpu.train.sampler import PKBatchSampler
+from daliid_tpu.utils.profiling import PhaseTimer
 
 
 def lr_schedule_values(base_lr: float, num_epochs: int = 250) -> np.ndarray:
@@ -140,6 +141,9 @@ class Trainer:
         self.decode_workers = max(1, min(decode_workers, 2 * (_os.cpu_count() or 1)))
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.key(seed)
+        # phase accounting: the reference's feature-extraction / clustering /
+        # finetuning wall-clock totals (mainKIT.py:102-104,193-201)
+        self.timer = PhaseTimer()
         self._lr_values = lr_schedule_values(base_lr, num_epochs)
         self.weight_decay = weight_decay
 
@@ -378,7 +382,8 @@ class Trainer:
     def train_epoch(self, epoch: int, verbose: bool = False) -> Dict[str, float]:
         """One pipeline iteration: mine proxies, run all PK batches."""
         lr = self.set_epoch_hyperparams(epoch)
-        pset = self.mine_proxies(verbose=verbose, use_momentum=self.momentum_on_feature_extraction)
+        with self.timer.span("proxy_mining"):
+            pset = self.mine_proxies(verbose=verbose, use_momentum=self.momentum_on_feature_extraction)
         centers = jax.device_put(jnp.asarray(pset.centers), self._replicated)
         proxies = jax.device_put(jnp.asarray(pset.proxies), self._replicated)
         proxy_labels = jax.device_put(jnp.asarray(pset.proxy_labels), self._replicated)
@@ -389,6 +394,7 @@ class Trainer:
         epoch_arr = jax.device_put(jnp.float32(epoch), self._replicated)
         t0 = time.time()
         # prefetch decode of the next batch while the device steps
+        finetune_t0 = time.time()
         batches = list(self.sampler.epoch())
         with cf.ThreadPoolExecutor(1) as prefetcher:
             futures = [prefetcher.submit(self._decode_batch, b.paths) for b in batches[:1]]
@@ -428,6 +434,7 @@ class Trainer:
                 n_batches += 1
                 step_metrics.append(metrics)
 
+        self.timer.add("finetuning", time.time() - finetune_t0)
         # single host sync for the whole epoch's diagnostics
         step_metrics = jax.device_get(step_metrics)
         totals: Dict[str, float] = {}
