@@ -39,21 +39,30 @@ from daliid_tpu.augment.preprocess import IMAGENET_MEAN, IMAGENET_STD
 _GRAY_W = (0.299, 0.587, 0.114)
 
 
-def _constants(width: int):
-    """(W*3, W*3) pixel-reversal permutation and grayscale-broadcast
-    matrices + per-lane mean/std vectors."""
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _constants(width: int, lane_pad: int):
+    """(C, C) pixel-reversal permutation and grayscale-broadcast matrices +
+    per-lane mean/std vectors, where C = W*3 padded to the lane multiple.
+    Padding lanes map to zero under both matmuls and get std 1 (they are
+    sliced off after the kernel)."""
     w3 = width * 3
-    flip = np.zeros((w3, w3), np.float32)
+    c = lane_pad
+    flip = np.zeros((c, c), np.float32)
     for x in range(width):
         for ch in range(3):
             flip[3 * x + ch, 3 * (width - 1 - x) + ch] = 1.0
-    gray = np.zeros((w3, w3), np.float32)
+    gray = np.zeros((c, c), np.float32)
     for x in range(width):
         for ch_in in range(3):
             for ch_out in range(3):
                 gray[3 * x + ch_in, 3 * x + ch_out] = _GRAY_W[ch_in]
-    mean = np.tile(np.asarray(IMAGENET_MEAN, np.float32), width)
-    std = np.tile(np.asarray(IMAGENET_STD, np.float32), width)
+    mean = np.zeros(c, np.float32)
+    std = np.ones(c, np.float32)
+    mean[:w3] = np.tile(np.asarray(IMAGENET_MEAN, np.float32), width)
+    std[:w3] = np.tile(np.asarray(IMAGENET_STD, np.float32), width)
     return flip, gray, mean, std
 
 
@@ -86,7 +95,12 @@ def _kernel(scal_ref, img_ref, flip_ref, gray_ref, mean_ref, std_ref, out_ref,
     px = cols // 3
     src_y = rows + oy - pad
     src_x = px + ox - pad
-    valid = (src_y >= 0) & (src_y < height) & (src_x >= 0) & (src_x < width)
+    # the last two terms zero the alignment-padding rows/lanes so they never
+    # contaminate the matmuls or the contrast mean
+    valid = (
+        (src_y >= 0) & (src_y < height) & (src_x >= 0) & (src_x < width)
+        & (rows < height) & (px < width)
+    )
     x = jnp.where(valid, x, 0.0)
 
     # --- horizontal flip: MXU permutation, blended by the flip flag ---
@@ -160,31 +174,37 @@ def fused_augment_batch(
     b, h, w, _ = images_u8.shape
     scal = _draw_scalars(key, b, h, w, pad, brightness, contrast, saturation,
                          erase_scale, erase_ratio)
-    flip_m, gray_m, mean_v, std_v = _constants(w)
+    # Mosaic wants lane/sublane-aligned tiles: pad W*3 to a 128 multiple and
+    # H to an 8 multiple; the kernel's validity mask zeroes the padding and
+    # we slice it off after.
+    c_pad = _round_up(w * 3, 128)
+    h_pad = _round_up(h, 8)
+    flip_m, gray_m, mean_v, std_v = _constants(w, c_pad)
     img2d = images_u8.reshape(b, h, w * 3)
+    img2d = jnp.pad(img2d, ((0, 0), (0, h_pad - h), (0, c_pad - w * 3)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, h, w * 3), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((w * 3, w * 3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((w * 3, w * 3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w * 3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w * 3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_pad, c_pad), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, c_pad), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, c_pad), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_pad), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_pad), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w * 3), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, h_pad, c_pad), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(_kernel, height=h, width=w, pad=pad),
-        out_shape=jax.ShapeDtypeStruct((b, h, w * 3), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad, c_pad), dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * h * (w * 3) * (w * 3),
-            bytes_accessed=b * h * w * 3 * 5,
+            flops=2 * 2 * b * h_pad * c_pad * c_pad,
+            bytes_accessed=b * h_pad * c_pad * 5,
             transcendentals=0,
         ),
     )(scal, img2d, jnp.asarray(flip_m), jnp.asarray(gray_m),
       jnp.asarray(mean_v)[None, :], jnp.asarray(std_v)[None, :])
-    return out.reshape(b, h, w, 3)
+    return out[:, :h, : w * 3].reshape(b, h, w, 3)

@@ -84,6 +84,45 @@ def test_crop_only_shifts_content(rng):
     assert np.isfinite(out).all()
 
 
+def test_exact_against_numpy_oracle(rng):
+    """Bit-level check: replay the kernel's own drawn scalars through an
+    independent numpy implementation of crop→flip→jitter→erase→normalize."""
+    import jax
+
+    from daliid_tpu.ops.fused_augment import _draw_scalars
+
+    B, pad = 3, 4
+    imgs = rng.integers(0, 256, size=(B, H, W, 3), dtype=np.uint8)
+    key = jax.random.key(11)
+    scal = np.asarray(_draw_scalars(key, B, H, W, pad, 0.4, 0.3, 0.4, (0.05, 0.30), (0.3, 3.3)))
+    out = np.asarray(
+        fused_augment_batch(jnp.asarray(imgs), key, pad=pad, dtype=jnp.float32)
+    )
+
+    gray_w = np.asarray([0.299, 0.587, 0.114])
+    mean = np.asarray(IMAGENET_MEAN)
+    std = np.asarray(IMAGENET_STD)
+    for i in range(B):
+        oy, ox, flip, fb, fc, fs, ey, ex, eh, ew = scal[i, :10]
+        oy, ox, ey, ex, eh, ew = map(int, (oy, ox, ey, ex, eh, ew))
+        # crop: zero-pad then window
+        padded = np.zeros((H + 2 * pad, W + 2 * pad, 3), np.float32)
+        padded[pad : pad + H, pad : pad + W] = imgs[i]
+        x = padded[oy : oy + H, ox : ox + W]
+        if flip > 0.5:
+            x = x[:, ::-1, :]
+        x = x / 255.0
+        x = np.clip(x * fb, 0, 1)
+        gray = (x @ gray_w)[..., None].repeat(3, axis=-1)
+        mg = gray.mean() if False else (x @ gray_w).mean()
+        # kernel computes mean over the gray-broadcast image = same as gray mean
+        x = np.clip(mg + fc * (x - mg), 0, 1)
+        x = np.clip(gray + fs * (x - gray), 0, 1)
+        x[ey : ey + eh, ex : ex + ew] = 0.0
+        expected = (x - mean) / std
+        np.testing.assert_allclose(out[i], expected, atol=2e-3)
+
+
 def test_matches_xla_pipeline_statistics(rng):
     """Distribution-level agreement with the XLA reference implementation:
     same per-batch mean/std envelope over many samples."""
