@@ -44,6 +44,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--beta", type=float, default=0.999)
     p.add_argument("--lambda_proxy", type=float, default=0.4)
     p.add_argument("--epochs", "--number_of_epoches", dest="epochs", type=int, default=250)
+    p.add_argument("--num_iter", type=int, default=1)
+    p.add_argument("--momentum_on_feature_extraction", type=int, default=0)
     p.add_argument("--dataset", type=str, required=True)
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--turbulence_dir_path", type=str, default=None)
@@ -88,7 +90,8 @@ def config_from_args(args) -> TrainConfig:
     )
 
 
-def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False):
+def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False, num_iter: int = 1,
+         momentum_on_feature_extraction: bool = False):
     from daliid_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -145,6 +148,8 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
         lambda_proxy=cfg.lambda_proxy,
         num_epochs=cfg.num_epochs,
         num_proxies=cfg.num_proxies,
+        num_iter=num_iter,
+        momentum_on_feature_extraction=momentum_on_feature_extraction,
         compute_dtype=dtype,
         seed=cfg.seed,
         extractor_batch=cfg.extractor_batch,
@@ -221,4 +226,6 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
 
 if __name__ == "__main__":
     args = build_argparser().parse_args()
-    main(config_from_args(args), resume=args.resume, skip_initial_eval=args.skip_initial_eval)
+    main(config_from_args(args), resume=args.resume, skip_initial_eval=args.skip_initial_eval,
+         num_iter=args.num_iter,
+         momentum_on_feature_extraction=bool(args.momentum_on_feature_extraction))

@@ -109,6 +109,9 @@ class Trainer:
                                          # reference train path)
         num_epochs: int = 250,
         num_proxies: int = 5,
+        num_iter: int = 1,  # inner iterations per epoch over the same PK
+                            # loader without re-mining (--num_iter,
+                            # train_encodersKIT.py:161-245; default 1)
         momentum_on_feature_extraction: bool = False,  # mainKIT.py:333-334
         mesh=None,
         compute_dtype=jnp.bfloat16,
@@ -133,6 +136,7 @@ class Trainer:
         self.paired_batches = sampler.kind_of_transform == 1
         self.num_epochs = num_epochs
         self.num_proxies = num_proxies
+        self.num_iter = max(1, num_iter)
         self.momentum_on_feature_extraction = momentum_on_feature_extraction
         self.mesh = mesh if mesh is not None else make_mesh()
         self.compute_dtype = compute_dtype
@@ -395,7 +399,9 @@ class Trainer:
         t0 = time.time()
         # prefetch decode of the next batch while the device steps
         finetune_t0 = time.time()
-        batches = list(self.sampler.epoch())
+        # the reference re-iterates the same loader num_iter times per epoch
+        # between minings (train_encodersKIT.py:161)
+        batches = [b for _ in range(self.num_iter) for b in self.sampler.epoch()]
         with cf.ThreadPoolExecutor(1) as prefetcher:
             futures = [prefetcher.submit(self._decode_batch, b.paths) for b in batches[:1]]
             for i, batch in enumerate(batches):
