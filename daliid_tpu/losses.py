@@ -326,11 +326,13 @@ def softmax_all_triplet_loss(
     batch_fvs, batch_labels, samples_distortion, epoch, num_epochs, tau=0.1, sample_mask=None
 ):
     """All-positive relative softmax vs summed negatives
-    (``BatchSoftmaxAllTripletLoss``, ``losses.py:419-464``; despite its name
-    it applies the 6-level weight table at ``losses.py:437-439``)."""
+    (``BatchSoftmaxAllTripletLoss``, ``losses.py:419-464``). Its weight table
+    override at ``losses.py:437`` keeps the first six of the *13-level*
+    ramps — n_mins (1.0, 0.90, 0.85, 0.80, 0.75, 0.70) — not the 6-level
+    table."""
     if sample_mask is None:
         sample_mask = jnp.ones(batch_fvs.shape[0], dtype=bool)
-    w = _weights_for(samples_distortion, epoch, num_epochs, N_MIN_6) * sample_mask
+    w = _weights_for(samples_distortion, epoch, num_epochs, N_MIN_13[:6]) * sample_mask
     sim = jnp.dot(batch_fvs, batch_fvs.T, preferred_element_type=jnp.float32)
     s_exp = jnp.exp(sim / tau)
     pos_mask, neg_mask = _pairwise_masks(batch_labels, sample_mask)
@@ -338,6 +340,16 @@ def softmax_all_triplet_loss(
     rel = -jnp.log(s_exp / (s_exp + neg_sum) + _EPS) * pos_mask
     per = jnp.sum(rel, axis=1) / jnp.maximum(jnp.sum(pos_mask, axis=1), 1)
     return jnp.sum(w * per) / jnp.maximum(jnp.sum(w), _EPS)
+
+
+def multi_level_distortion_loss(batch_fvs, distorted_fvs):
+    """Mean cosine distance from each clean embedding to its five distorted
+    copies (``BatchDistortionLoss``, ``losses.py:868-883``): ``distorted_fvs``
+    carries 6 rows per sample — [clean, level-1..level-5] — and the loss is
+    ``mean_i mean_{l=1..5} (1 - <fv_i, d_{i,l}>)``."""
+    n = batch_fvs.shape[0]
+    groups = distorted_fvs.reshape(n, 6, -1)[:, 1:, :]  # (n, 5, D)
+    return jnp.mean(1.0 - jnp.einsum("nd,nkd->nk", batch_fvs, groups))
 
 
 def instance_loss(batch_fvs):
@@ -386,17 +398,27 @@ def clothes_triplet_loss(batch_fvs, batch_labels, batch_clothes, tau=0.1, sample
 
 def bipartite_loss(
     batch_fvs, batch_labels, batch_cameras, batch_clothes, samples_distortion,
-    epoch, num_epochs, tau=0.1, sample_mask=None,
+    epoch, num_epochs, tau=0.1, sample_mask=None, controlled=None,
 ):
     """Clothes/camera-partitioned relative softmax pair
     (``BatchSoftmaxBipatiteLoss``, ``losses.py:467-547``), 13-level weights.
 
-    Returns (clothes_loss, camera_loss): positives restricted to same-camera
-    different-clothes (resp. same-camera) pairs, negatives to same-camera
-    different-identity pairs.
+    Returns (clothes_loss, camera_loss):
+
+    - clothes branch (``losses.py:513-523``): positives are same-identity
+      same-camera different-clothes pairs, negatives different-identity
+      same-camera pairs.
+    - camera branch (``losses.py:529-542``): the reference partitions by
+      acquisition setup — its mask ``(cam_j=='controlled') ==
+      (cam_i!='controlled')`` keeps exactly the *cross-setup* pairs (one
+      controlled, one field). ``controlled`` is that per-sample boolean
+      (default all-False, which empties the branch exactly as a batch with
+      no 'controlled' cameras does in the reference).
     """
     if sample_mask is None:
         sample_mask = jnp.ones(batch_fvs.shape[0], dtype=bool)
+    if controlled is None:
+        controlled = jnp.zeros(batch_fvs.shape[0], dtype=bool)
     w = _weights_for(samples_distortion, epoch, num_epochs, N_MIN_13) * sample_mask
     sim = jnp.dot(batch_fvs, batch_fvs.T, preferred_element_type=jnp.float32)
     s_exp = jnp.exp(sim / tau)
@@ -404,6 +426,7 @@ def bipartite_loss(
     same_id = (batch_labels[:, None] == batch_labels[None, :]) & valid
     same_cam = batch_cameras[:, None] == batch_cameras[None, :]
     same_clothes = batch_clothes[:, None] == batch_clothes[None, :]
+    cross_setup = (controlled[None, :] == ~controlled[:, None]) & valid
 
     def partition_loss(pos_mask, neg_mask):
         pos_sum = jnp.sum(s_exp * pos_mask, axis=1, keepdims=True)
@@ -412,8 +435,10 @@ def bipartite_loss(
         per = jnp.sum(rel, axis=1) / (jnp.sum(pos_mask, axis=1) + _EPS)
         return jnp.sum(w * per) / jnp.maximum(jnp.sum(w), _EPS)
 
-    clothes_loss = partition_loss(same_id & same_cam & ~same_clothes, ~same_id & same_cam)
-    camera_loss = partition_loss(same_id & same_cam, ~same_id & same_cam)
+    clothes_loss = partition_loss(
+        same_id & same_cam & ~same_clothes, (~same_id) & valid & same_cam
+    )
+    camera_loss = partition_loss(same_id & cross_setup, (~same_id) & valid & cross_setup)
     return clothes_loss, camera_loss
 
 
@@ -451,13 +476,14 @@ def controlled_camera_hard_loss(
     class, pair the weakest same-class level-d positive against a hard
     same-level negative, weighted by the 13-level table.
 
-    Vectorized over the (anchor, level) grid: for each clean anchor i and
-    level d ∈ 1..5, p = min similarity to same-class level-d samples, q =
-    the hardest (max) similarity among different-class level-d samples. The
-    reference walks negatives in sorted order so repeated levels consume
-    successive negatives; with one triplet per (anchor, level) — the PK
-    pairer emits exactly one copy per level — the hardest negative is that
-    first sorted element, making this exactly equivalent.
+    Exact reference semantics (``losses.py:754-790``): the negatives of a
+    clean anchor are the *clean* (same-distortion-as-anchor) samples of other
+    classes, sorted by similarity descending; the k-th distortion level
+    present in the anchor's class (levels in ascending order) consumes the
+    k-th sorted negative. Vectorized over the (anchor, level) grid: rank
+    ``k(i,d)`` = number of levels < d present in class(i), ``q(i,d)`` =
+    k-th-hardest clean negative of anchor i, ``p(i,d)`` = min similarity to
+    same-class level-d samples.
     """
     if sample_mask is None:
         sample_mask = jnp.ones(batch_fvs.shape[0], dtype=bool)
@@ -469,19 +495,27 @@ def controlled_camera_hard_loss(
     is_clean_anchor = (samples_distortion == 0) & sample_mask
     levels = jnp.arange(1, 6)
 
-    def level_terms(d):
+    # Clean negatives per anchor, sorted descending (losses.py:770-771).
+    clean_neg = (~same_id) & valid & (samples_distortion[None, :] == 0)
+    neg_sorted = -jnp.sort(jnp.where(clean_neg, -sim, jnp.inf), axis=1)  # (B, B) desc
+    n_neg = clean_neg.sum(axis=1)
+
+    # present(i, d): anchor i's class has level-d samples.  (5, B)
+    def level_stats(d):
         is_d = (samples_distortion[None, :] == d) & sample_mask[None, :]
         pos = jnp.where(same_id & is_d, sim, jnp.inf)
-        p = jnp.min(pos, axis=1)
-        neg = jnp.where(~same_id & valid & is_d, sim, -jnp.inf)
-        q = jnp.max(neg, axis=1)
-        has = is_clean_anchor & jnp.isfinite(p) & jnp.isfinite(q)
-        term = jnp.where(has, jax.nn.softplus((q - p) / tau), 0.0)
-        w = jnp.where(has, table[d], 0.0)
-        return (w * term).sum(), w.sum()
+        return jnp.min(pos, axis=1), (same_id & is_d).any(axis=1)
 
-    terms, weights = jax.vmap(level_terms)(levels)
-    return terms.sum() / jnp.maximum(weights.sum(), _EPS)
+    p, present = jax.vmap(level_stats)(levels)  # (5, B) each
+    rank = jnp.cumsum(present, axis=0) - present  # levels ascending (losses.py:774)
+    # q[l, i] = neg_sorted[i, rank[l, i]]
+    q = jnp.take_along_axis(
+        neg_sorted, jnp.minimum(rank.T, batch_fvs.shape[0] - 1), axis=1
+    ).T  # (5, B)
+    has = is_clean_anchor[None, :] & present & (rank < n_neg[None, :])
+    term = jnp.where(has, jax.nn.softplus((q - p) / tau), 0.0)
+    w = jnp.where(has, table[levels][:, None], 0.0)
+    return jnp.sum(term * w) / jnp.maximum(jnp.sum(w), _EPS)
 
 
 def camera_hard_loss(
@@ -493,11 +527,13 @@ def camera_hard_loss(
     pushes from the hardest same-camera different-identity center.
 
     ``camera_centers`` (Nc, D) with per-center identity/camera labels.
-    Deviation from the reference: every positive uses the hardest
-    same-camera negative (the reference cycles through sorted negatives;
-    with typically ≥ positives negatives available the first elements
-    dominate). Returns the mean over all (sample, other-camera-center)
-    pairs.
+    Exact reference semantics (``losses.py:836-863``): per sample, the
+    same-camera different-identity centers are sorted by similarity
+    descending and each successive positive (the sample's own-identity
+    other-camera centers, in center order) consumes the next sorted
+    negative, wrapping around when they run out. Assumes (id, camera)
+    center pairs are unique, as the epoch miner produces. Returns the mean
+    over all counted (sample, other-camera-center) triplets.
     """
     if sample_mask is None:
         sample_mask = jnp.ones(batch_fvs.shape[0], dtype=bool)
@@ -508,11 +544,16 @@ def camera_hard_loss(
     # positives: own-id centers from other cameras
     pos_mask = same_id & ~same_cam
     # negatives: other-id centers from the sample's own camera
-    neg_mask = ~same_id & same_cam
-    q = jnp.max(jnp.where(neg_mask, sim, -jnp.inf), axis=1)   # hardest negative per sample
-    has_neg = jnp.isfinite(q)
-    per_pair = jax.nn.softplus((q[:, None] - sim) / tau)
-    counted = pos_mask & has_neg[:, None] & sample_mask[:, None]
+    neg_mask = (~same_id) & same_cam
+    n_neg = neg_mask.sum(axis=1)                                        # (B,)
+    neg_sorted = -jnp.sort(jnp.where(neg_mask, -sim, jnp.inf), axis=1)  # (B, Nc) desc
+    # ordinal of each positive center within its sample's positive list
+    # (center-index order, losses.py:844), cycled modulo n_neg (849-855)
+    ordinal = jnp.cumsum(pos_mask, axis=1) - 1
+    rank = jnp.mod(ordinal, jnp.maximum(n_neg, 1)[:, None])
+    q = jnp.take_along_axis(neg_sorted, rank, axis=1)                   # (B, Nc)
+    per_pair = jax.nn.softplus((q - sim) / tau)
+    counted = pos_mask & (n_neg > 0)[:, None] & sample_mask[:, None]
     total = jnp.sum(jnp.where(counted, per_pair, 0.0))
     return total / jnp.maximum(jnp.sum(counted), 1)
 
