@@ -56,10 +56,12 @@ def load_bundle(model_name, model_path, img_size, dtype):
             bundle.variables = load_variables(model_path, bundle.variables)
         else:
             # torch-format checkpoint (the reference's .h5 state_dict pickles,
-            # mainKIT.py:169-170) for resnet50
-            from daliid_tpu.models.torch_port import load_torch_checkpoint, resnet50_reid_from_torch
+            # mainKIT.py:169-170) — converter dispatched per model family
+            from daliid_tpu.models.torch_port import load_torch_checkpoint, variables_from_torch
 
-            bundle.variables = resnet50_reid_from_torch(load_torch_checkpoint(model_path))
+            bundle.variables = variables_from_torch(
+                model_name, load_torch_checkpoint(model_path), module=bundle.module
+            )
         print(f"Loaded weights from {model_path}")
     return bundle
 

@@ -100,6 +100,488 @@ def resnet50_reid_from_torch(state_dict: Mapping[str, object], stage_sizes=(3, 4
     return {"params": params, "batch_stats": stats}
 
 
+# --------------------------------------------------------------------------
+# Mapping-table core: each zoo converter declares (torch_key, flax_path, kind)
+# rows; one interpreter materializes flax variables from a state_dict and its
+# inverse exports flax variables back to torch-format keys. Kinds:
+#   conv   — ``.weight`` OIHW → HWIO ``kernel`` (+ ``.bias`` if present)
+#   dense  — ``.weight`` (out,in) → (in,out) ``kernel`` (+ bias)
+#   bn     — weight/bias → params scale/bias; running_mean/var → batch_stats
+#   ln     — weight/bias → params scale/bias (LayerNorm / InstanceNorm)
+#   raw    — the key itself, copied verbatim (cls_token, pos_embed, ...)
+# --------------------------------------------------------------------------
+
+
+def _set(tree, path, leaf):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = leaf
+
+
+def _get(tree, path):
+    node = tree
+    for k in path:
+        node = node[k]
+    return node
+
+
+def _materialize(sd: Mapping[str, object], entries):
+    params: Dict[str, object] = {}
+    stats: Dict[str, object] = {}
+    for tk, path, kind in entries:
+        if kind == "conv":
+            _set(params, path + ("kernel",), _to_numpy(sd[tk + ".weight"]).transpose(2, 3, 1, 0))
+            if tk + ".bias" in sd:
+                _set(params, path + ("bias",), _to_numpy(sd[tk + ".bias"]))
+        elif kind == "dense":
+            _set(params, path + ("kernel",), _to_numpy(sd[tk + ".weight"]).T)
+            if tk + ".bias" in sd:
+                _set(params, path + ("bias",), _to_numpy(sd[tk + ".bias"]))
+        elif kind == "dense_conv1x1":
+            # torch 1x1 Conv2d acting as a dense gate → flax Dense
+            _set(params, path + ("kernel",), _to_numpy(sd[tk + ".weight"])[:, :, 0, 0].T)
+            if tk + ".bias" in sd:
+                _set(params, path + ("bias",), _to_numpy(sd[tk + ".bias"]))
+        elif kind == "bn":
+            _set(params, path + ("scale",), _to_numpy(sd[tk + ".weight"]))
+            _set(params, path + ("bias",), _to_numpy(sd[tk + ".bias"]))
+            _set(stats, path + ("mean",), _to_numpy(sd[tk + ".running_mean"]))
+            _set(stats, path + ("var",), _to_numpy(sd[tk + ".running_var"]))
+        elif kind == "ln":
+            _set(params, path + ("scale",), _to_numpy(sd[tk + ".weight"]))
+            _set(params, path + ("bias",), _to_numpy(sd[tk + ".bias"]))
+        elif kind == "raw":
+            _set(params, path, _to_numpy(sd[tk]))
+        else:  # pragma: no cover
+            raise ValueError(f"unknown kind {kind}")
+    return {"params": params, "batch_stats": stats}
+
+
+def _export(variables, entries) -> Dict[str, np.ndarray]:
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+    for tk, path, kind in entries:
+        node = _get(params, path) if kind != "bn" else None
+        if kind == "conv":
+            out[tk + ".weight"] = np.asarray(node["kernel"]).transpose(3, 2, 0, 1)
+            if "bias" in node:
+                out[tk + ".bias"] = np.asarray(node["bias"])
+        elif kind == "dense":
+            out[tk + ".weight"] = np.asarray(node["kernel"]).T
+            if "bias" in node:
+                out[tk + ".bias"] = np.asarray(node["bias"])
+        elif kind == "dense_conv1x1":
+            out[tk + ".weight"] = np.asarray(node["kernel"]).T[:, :, None, None]
+            if "bias" in node:
+                out[tk + ".bias"] = np.asarray(node["bias"])
+        elif kind == "bn":
+            p, s = _get(params, path), _get(stats, path)
+            out[tk + ".weight"] = np.asarray(p["scale"])
+            out[tk + ".bias"] = np.asarray(p["bias"])
+            out[tk + ".running_mean"] = np.asarray(s["mean"])
+            out[tk + ".running_var"] = np.asarray(s["var"])
+        elif kind == "ln":
+            out[tk + ".weight"] = np.asarray(node["scale"])
+            out[tk + ".bias"] = np.asarray(node["bias"])
+        elif kind == "raw":
+            out[tk] = np.asarray(node)
+    return out
+
+
+# ------------------------------------------------------------ ViT/TransReID
+
+
+def _vit_block_entries(torch_prefix: str, flax_prefix):
+    """One transformer block (vit_pytorch.py:167-184 naming)."""
+    e = []
+    for name, kind in (
+        ("norm1", "ln"), ("attn.qkv", "dense"), ("attn.proj", "dense"),
+        ("norm2", "ln"), ("mlp.fc1", "dense"), ("mlp.fc2", "dense"),
+    ):
+        flax_name = {
+            "norm1": ("norm1",), "attn.qkv": ("attn", "qkv"), "attn.proj": ("attn", "proj"),
+            "norm2": ("norm2",), "mlp.fc1": ("mlp", "fc1"), "mlp.fc2": ("mlp", "fc2"),
+        }[name]
+        e.append((f"{torch_prefix}.{name}", flax_prefix + flax_name, kind))
+    return e
+
+
+def _vit_trunk_entries(prefix: str, depth: int, has_sie: bool, local_feature: bool,
+                       flax_prefix=()):
+    p = (prefix + ".") if prefix else ""
+    e = [
+        (p + "cls_token", flax_prefix + ("cls_token",), "raw"),
+        (p + "pos_embed", flax_prefix + ("pos_embed",), "raw"),
+        (p + "patch_embed.proj", flax_prefix + ("patch_embed",), "conv"),
+    ]
+    if has_sie:
+        e.append((p + "sie_embed", flax_prefix + ("sie_embed",), "raw"))
+    for i in range(depth):
+        e += _vit_block_entries(f"{p}blocks.{i}", flax_prefix + (f"block{i}",))
+    if not local_feature:
+        e.append((p + "norm", flax_prefix + ("norm",), "ln"))
+    return e
+
+
+def _normalize_torchvision_vit_keys(sd: Mapping[str, object]) -> Dict[str, object]:
+    """Rename torchvision ``vit_b_16`` keys (the ``ViTReID`` wrapper scheme,
+    ``Encoders.py:767-828``) to the TransReID scheme so one converter covers
+    both. torchvision packs qkv as ``self_attention.in_proj_*`` with the same
+    [q;k;v] row layout as TransReID's fused ``qkv``."""
+    out = {}
+    for k, v in sd.items():
+        nk = (
+            k.replace("class_token", "cls_token")
+            .replace("encoder.pos_embedding", "pos_embed")
+            .replace("conv_proj", "patch_embed.proj")
+            .replace("encoder.ln", "norm")
+        )
+        if ".encoder.layers.encoder_layer_" in "." + nk:
+            head, rest = nk.split("encoder.layers.encoder_layer_", 1)
+            idx, sub = rest.split(".", 1)
+            sub = (
+                sub.replace("ln_1", "norm1")
+                .replace("ln_2", "norm2")
+                .replace("self_attention.out_proj", "attn.proj")
+                .replace("self_attention.in_proj_weight", "attn.qkv.weight")
+                .replace("self_attention.in_proj_bias", "attn.qkv.bias")
+                .replace("mlp.0", "mlp.fc1")
+                .replace("mlp.3", "mlp.fc2")
+                .replace("mlp.linear_1", "mlp.fc1")
+                .replace("mlp.linear_2", "mlp.fc2")
+            )
+            nk = f"{head}blocks.{idx}.{sub}"
+        out[nk] = v
+    return out
+
+
+def vit_reid_from_torch(state_dict: Mapping[str, object], *, depth: int = 12,
+                        grid_hw=None, ckpt_grid_hw=None):
+    """TransReID / ViT checkpoint → flax ``ViTReID`` variables.
+
+    Accepts the bare backbone (``vit_pytorch.py`` state_dict), the
+    ``build_transformer`` wrapper (``base.*`` + ``bottleneck`` BN neck,
+    ``make_models.py:121-218``), and torchvision's ``vit_b_16`` under the
+    ``ViTReID`` wrapper (``Encoders.py:767-828``). When the checkpoint's
+    position-embedding grid differs from ``grid_hw``, it is bilinearly
+    resized exactly like the reference loader (``vit_pytorch.py:410-450``);
+    ``ckpt_grid_hw`` gives the source grid (inferred square if omitted).
+    """
+    sd = _normalize_torchvision_vit_keys(strip_module_prefix(dict(state_dict)))
+    prefix = "base" if any(k.startswith("base.") for k in sd) else ""
+    p = (prefix + ".") if prefix else ""
+    has_sie = p + "sie_embed" in sd
+    entries = _vit_trunk_entries(prefix, depth, has_sie, local_feature=False)
+    variables = _materialize(sd, entries)
+
+    # BN neck: build_transformer's `bottleneck` or the wrappers' `last_bn`.
+    neck = "bottleneck" if p + "bottleneck.weight" in sd else "last_bn"
+    if p + f"{neck}.weight" in sd or f"{neck}.weight" in sd:
+        key = neck if f"{neck}.weight" in sd else p + neck
+        variables["params"]["last_bn"] = _bn_params(sd, key)
+        variables["batch_stats"]["last_bn"] = _bn_stats(sd, key)
+    else:  # bare backbone: identity-initialized neck
+        dim = variables["params"]["cls_token"].shape[-1]
+        variables["params"]["last_bn"] = {
+            "scale": np.ones(dim, np.float32), "bias": np.zeros(dim, np.float32)
+        }
+        variables["batch_stats"]["last_bn"] = {
+            "mean": np.zeros(dim, np.float32), "var": np.ones(dim, np.float32)
+        }
+
+    if grid_hw is not None:
+        pos = variables["params"]["pos_embed"]
+        n_new = grid_hw[0] * grid_hw[1]
+        if pos.shape[1] != n_new + 1:
+            from daliid_tpu.models.vit import resize_pos_embed
+
+            n_old = pos.shape[1] - 1
+            if ckpt_grid_hw is None:
+                side = int(round(n_old ** 0.5))
+                if side * side != n_old:
+                    raise ValueError(
+                        f"cannot infer checkpoint grid for {n_old} tokens; pass ckpt_grid_hw"
+                    )
+                ckpt_grid_hw = (side, side)
+            variables["params"]["pos_embed"] = resize_pos_embed(pos, tuple(grid_hw), ckpt_grid_hw)
+    return variables
+
+
+def vit_reid_to_torch_keys(variables, *, depth: int = 12, wrapper: str = "base") -> Dict[str, np.ndarray]:
+    """flax ``ViTReID`` → TransReID-scheme torch keys (``base.*`` +
+    ``bottleneck`` when ``wrapper='base'``; bare scheme + ``last_bn``
+    otherwise)."""
+    prefix = "base" if wrapper == "base" else ""
+    has_sie = "sie_embed" in variables["params"]
+    entries = _vit_trunk_entries(prefix, depth, has_sie, local_feature=False)
+    out = _export(variables, entries)
+    neck = "bottleneck" if wrapper == "base" else "last_bn"
+    p, s = variables["params"]["last_bn"], variables["batch_stats"]["last_bn"]
+    out[f"{neck}.weight"] = np.asarray(p["scale"])
+    out[f"{neck}.bias"] = np.asarray(p["bias"])
+    out[f"{neck}.running_mean"] = np.asarray(s["mean"])
+    out[f"{neck}.running_var"] = np.asarray(s["var"])
+    return out
+
+
+# ------------------------------------------------------------ TransReID-JPM
+
+
+def _jpm_entries(depth: int, has_sie: bool, num_classes: int):
+    e = _vit_trunk_entries("base", depth - 1, has_sie, local_feature=True,
+                           flax_prefix=("base",))
+    for branch in ("b1", "b2"):
+        e += _vit_block_entries(f"{branch}.0", (f"{branch}_block",))
+        e.append((f"{branch}.1", (f"{branch}_norm",), "ln"))
+    for i in range(5):
+        suffix = "" if i == 0 else f"_{i}"
+        e.append((f"bottleneck{suffix}", (f"bottleneck{suffix}",), "bn"))
+        if num_classes:
+            e.append((f"classifier{suffix}", (f"classifier{suffix}",), "dense"))
+    return e
+
+
+def transreid_jpm_from_torch(state_dict: Mapping[str, object], *, depth: int = 12,
+                             num_classes: int = 0, grid_hw=None, ckpt_grid_hw=None):
+    """``build_transformer_local`` checkpoint (``make_models.py:221-389``) →
+    flax ``TransReIDJPM`` variables. The trunk runs depth-1 blocks (JPM
+    ``local_feature`` mode); ``base.blocks.{depth-1}`` and ``base.norm`` exist
+    in the checkpoint only as the deepcopy sources of b1/b2
+    (``make_models.py:249-257``) and are deliberately not mapped."""
+    sd = strip_module_prefix(dict(state_dict))
+    has_sie = "base.sie_embed" in sd
+    if num_classes == 0 and "classifier.weight" in sd:
+        num_classes = _to_numpy(sd["classifier.weight"]).shape[0]
+    variables = _materialize(sd, _jpm_entries(depth, has_sie, num_classes))
+    if grid_hw is not None:
+        pos = variables["params"]["base"]["pos_embed"]
+        n_new = grid_hw[0] * grid_hw[1]
+        if pos.shape[1] != n_new + 1:
+            from daliid_tpu.models.vit import resize_pos_embed
+
+            if ckpt_grid_hw is None:
+                n_old = pos.shape[1] - 1
+                side = int(round(n_old ** 0.5))
+                if side * side != n_old:
+                    raise ValueError("pass ckpt_grid_hw for non-square checkpoint grids")
+                ckpt_grid_hw = (side, side)
+            variables["params"]["base"]["pos_embed"] = resize_pos_embed(
+                pos, tuple(grid_hw), ckpt_grid_hw
+            )
+    return variables
+
+
+def transreid_jpm_to_torch_keys(variables, *, depth: int = 12) -> Dict[str, np.ndarray]:
+    has_sie = "sie_embed" in variables["params"]["base"]
+    num_classes = (
+        variables["params"]["classifier"]["kernel"].shape[1]
+        if "classifier" in variables["params"] else 0
+    )
+    return _export(variables, _jpm_entries(depth, has_sie, num_classes))
+
+
+# ------------------------------------------------------------------- OSNet
+
+
+def _osnet_lightconv(tk, path):
+    return [
+        (tk + ".conv1", path + ("pw",), "conv"),
+        (tk + ".conv2", path + ("dw",), "conv"),
+        (tk + ".bn", path + ("bn",), "bn"),
+    ]
+
+
+def _osnet_convbn(tk, path):
+    return [(tk + ".conv", path + ("conv",), "conv"), (tk + ".bn", path + ("bn",), "bn")]
+
+
+def _osnet_entries(sd):
+    """The ``OSNETReID`` wrapper scheme (``Encoders.py:642-684``): torchreid
+    ``osnet_x1_0`` stage modules re-exposed under their attribute names, so
+    keys keep torchreid's internal naming (LightConv3x3 = conv1 pointwise +
+    conv2 depthwise + bn; streams conv2a..conv2d; shared gate; Conv1x1Linear
+    conv3; downsample)."""
+    e = _osnet_convbn("conv1", ("conv1",))
+    for stage in (2, 3, 4):
+        for b in range(2):
+            tk, path = f"conv{stage}.{b}", (f"conv{stage}_{b}",)
+            e += _osnet_convbn(tk + ".conv1", path + ("reduce",))
+            for depth, stream in enumerate("abcd", start=1):
+                for d in range(depth):
+                    src = f"{tk}.conv2{stream}" + (f".{d}" if depth > 1 else "")
+                    e += _osnet_lightconv(src, path + (f"stream{depth}_{d}",))
+            e += [
+                (tk + ".gate.fc1", path + ("gate", "fc1"), "dense_conv1x1"),
+                (tk + ".gate.fc2", path + ("gate", "fc2"), "dense_conv1x1"),
+                (tk + ".conv3.conv", path + ("expand",), "conv"),
+                (tk + ".conv3.bn", path + ("expand_bn",), "bn"),
+            ]
+            if f"{tk}.downsample.conv.weight" in sd:
+                e += [
+                    (tk + ".downsample.conv", path + ("shortcut",), "conv"),
+                    (tk + ".downsample.bn", path + ("shortcut_bn",), "bn"),
+                ]
+        if stage < 4:
+            e += _osnet_convbn(f"conv{stage}.2.0", (f"transition{stage}",))
+    e += _osnet_convbn("conv5", ("conv5",))
+    e.append(("last_bn", ("last_bn",), "bn"))
+    return e
+
+
+def osnet_reid_from_torch(state_dict: Mapping[str, object]):
+    sd = strip_module_prefix(dict(state_dict))
+    return _materialize(sd, _osnet_entries(sd))
+
+
+def osnet_reid_to_torch_keys(variables) -> Dict[str, np.ndarray]:
+    # presence of shortcut convs is read from the variables themselves
+    fake_sd = {
+        f"conv{s}.{b}.downsample.conv.weight": 1
+        for s in (2, 3, 4) for b in range(2)
+        if "shortcut" in variables["params"].get(f"conv{s}_{b}", {})
+    }
+    return _export(variables, _osnet_entries(fake_sd))
+
+
+# -------------------------------------------------------------- DenseNet121
+
+
+def _densenet_entries(block_sizes=(6, 12, 24, 16), num_classes=0):
+    """torchvision ``densenet121.features`` naming under the wrapper's
+    ``model_base`` attribute (``Encoders.py:606-639``)."""
+    e = [
+        ("model_base.conv0", ("conv0",), "conv"),
+        ("model_base.norm0", ("norm0",), "bn"),
+    ]
+    for bi, n in enumerate(block_sizes, start=1):
+        for li in range(n):
+            tk = f"model_base.denseblock{bi}.denselayer{li + 1}"
+            path = (f"block{bi}_layer{li}",)
+            e += [
+                (tk + ".norm1", path + ("norm1",), "bn"),
+                (tk + ".conv1", path + ("conv1",), "conv"),
+                (tk + ".norm2", path + ("norm2",), "bn"),
+                (tk + ".conv2", path + ("conv2",), "conv"),
+            ]
+        if bi < len(block_sizes):
+            e += [
+                (f"model_base.transition{bi}.norm", (f"transition{bi}", "norm"), "bn"),
+                (f"model_base.transition{bi}.conv", (f"transition{bi}", "conv"), "conv"),
+            ]
+    e.append(("model_base.norm5", ("norm_final",), "bn"))
+    e.append(("last_bn", ("last_bn",), "bn"))
+    if num_classes:
+        e.append(("classification", ("classifier",), "dense"))
+    return e
+
+
+def densenet121_reid_from_torch(state_dict: Mapping[str, object], block_sizes=(6, 12, 24, 16)):
+    sd = strip_module_prefix(dict(state_dict))
+    num_classes = (
+        _to_numpy(sd["classification.weight"]).shape[0] if "classification.weight" in sd else 0
+    )
+    return _materialize(sd, _densenet_entries(block_sizes, num_classes=num_classes))
+
+
+def densenet121_reid_to_torch_keys(variables, block_sizes=(6, 12, 24, 16)) -> Dict[str, np.ndarray]:
+    num_classes = (
+        variables["params"]["classifier"]["kernel"].shape[1]
+        if "classifier" in variables["params"] else 0
+    )
+    return _export(variables, _densenet_entries(block_sizes, num_classes=num_classes))
+
+
+# ----------------------------------------------------------- IBN ResNet-a
+
+
+def _resnet_ibn_entries(sd, stage_sizes):
+    """IBN-Net-a scheme (torch.hub ``resnet50_ibn_a``, the
+    ``ResNet50IBNReID``/``ResNet101IBNReID`` wrappers, ``Encoders.py:462-603``):
+    standard torchvision ResNet keys, except each bottleneck's ``bn1`` in
+    stages 1-3 is an IBN module with ``bn1.IN`` (InstanceNorm, first half of
+    channels) and ``bn1.BN`` (BatchNorm, second half). The wrappers' unused
+    attention/attribute heads are ignored."""
+    e = [("conv1", ("conv1",), "conv"), ("bn1", ("bn1",), "bn"), ("last_bn", ("last_bn",), "bn")]
+    for stage, num_blocks in enumerate(stage_sizes, start=1):
+        for b in range(num_blocks):
+            tk, path = f"layer{stage}.{b}", (f"layer{stage}_{b}",)
+            if f"{tk}.bn1.IN.weight" in sd:
+                e += [
+                    (tk + ".bn1.IN", path + ("bn1_ibn", "instance"), "ln"),
+                    (tk + ".bn1.BN", path + ("bn1_ibn", "batch"), "bn"),
+                ]
+            else:
+                e.append((tk + ".bn1", path + ("bn1",), "bn"))
+            e += [
+                (tk + ".conv1", path + ("conv1",), "conv"),
+                (tk + ".conv2", path + ("conv2",), "conv"),
+                (tk + ".bn2", path + ("bn2",), "bn"),
+                (tk + ".conv3", path + ("conv3",), "conv"),
+                (tk + ".bn3", path + ("bn3",), "bn"),
+            ]
+            if f"{tk}.downsample.0.weight" in sd:
+                e += [
+                    (tk + ".downsample.0", path + ("downsample_conv",), "conv"),
+                    (tk + ".downsample.1", path + ("downsample_bn",), "bn"),
+                ]
+    return e
+
+
+def resnet_ibn_reid_from_torch(state_dict: Mapping[str, object], stage_sizes=(3, 4, 6, 3)):
+    sd = strip_module_prefix(dict(state_dict))
+    return _materialize(sd, _resnet_ibn_entries(sd, stage_sizes))
+
+
+def resnet_ibn_reid_to_torch_keys(variables, stage_sizes=(3, 4, 6, 3)) -> Dict[str, np.ndarray]:
+    fake_sd = {}
+    for stage, num_blocks in enumerate(stage_sizes, start=1):
+        for b in range(num_blocks):
+            block = variables["params"][f"layer{stage}_{b}"]
+            if "bn1_ibn" in block:
+                fake_sd[f"layer{stage}.{b}.bn1.IN.weight"] = 1
+            if "downsample_conv" in block:
+                fake_sd[f"layer{stage}.{b}.downsample.0.weight"] = 1
+    return _export(variables, _resnet_ibn_entries(fake_sd, stage_sizes))
+
+
+# ---------------------------------------------------------------- dispatch
+
+
+def variables_from_torch(model_name: str, state_dict: Mapping[str, object], *, module=None):
+    """Convert a reference checkpoint for any registry model with a torch
+    counterpart. ``module`` (the flax module) supplies shape context (ViT
+    grid, JPM depth) when given."""
+    sd = strip_module_prefix(dict(state_dict))
+    if model_name in ("resnet50", "resnet50_gap", "resnet50Seg", "dualresnet50",
+                      "multipart_resnet50", "multiview_resnet50"):
+        return resnet50_reid_from_torch(sd)
+    if model_name == "resnet50IBN":
+        return resnet_ibn_reid_from_torch(sd)
+    if model_name == "resnet101IBN":
+        return resnet_ibn_reid_from_torch(sd, stage_sizes=(3, 4, 23, 3))
+    if model_name in ("vit", "vit_small", "transreid"):
+        kw = {}
+        if module is not None:
+            kw = {"depth": module.depth, "grid_hw": module.grid_hw}
+        return vit_reid_from_torch(sd, **kw)
+    if model_name == "transreid_jpm":
+        kw = {}
+        if module is not None:
+            trunk_grid = (
+                (module.img_size[0] - module.patch_size) // module.patch_stride + 1,
+                (module.img_size[1] - module.patch_size) // module.patch_stride + 1,
+            )
+            kw = {"depth": module.depth, "num_classes": module.num_classes,
+                  "grid_hw": trunk_grid}
+        return transreid_jpm_from_torch(sd, **kw)
+    if model_name == "osnet":
+        return osnet_reid_from_torch(sd)
+    if model_name == "densenet121":
+        return densenet121_reid_from_torch(sd)
+    raise KeyError(f"no torch converter for model {model_name!r}")
+
+
 def resnet50_reid_to_torch_keys(variables) -> Dict[str, np.ndarray]:
     """Inverse mapping (flax → torch-style keys), used for round-trip tests
     and for exporting TPU-trained weights back to the reference format."""

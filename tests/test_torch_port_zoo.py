@@ -1,0 +1,571 @@
+"""Torch-checkpoint converters for the full model zoo.
+
+ViT/TransReID and JPM are verified NUMERICALLY against the reference's own
+``vit_pytorch`` / ``make_models`` modules running under the installed CPU
+torch: build the torch model, convert its state_dict, and require the flax
+forward to reproduce the torch embeddings. OSNet / DenseNet-121 / IBN-ResNet
+have no importable upstream here (torchreid/torchvision absent), so small
+torch mirrors with the exact upstream key schemes serve as oracles — they
+validate every conv/dense/BN layout transpose numerically and the key naming
+structurally. Every converter also round-trips (flax → torch keys → flax).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from daliid_tpu.models import torch_port as tp
+
+REF_DIR = "/root/reference/Person-ReID"
+
+
+@pytest.fixture(scope="module")
+def torch_mod():
+    import torch
+
+    torch.manual_seed(12)
+    return torch
+
+
+@pytest.fixture(scope="module")
+def ref_vit(torch_mod):
+    sys.modules.setdefault("termcolor", types.SimpleNamespace(colored=lambda s, *a, **k: s))
+    if REF_DIR not in sys.path:
+        sys.path.insert(0, REF_DIR)
+    import vit_pytorch
+
+    return vit_pytorch
+
+
+def _randomize(torch_mod, model):
+    """Fill every parameter/buffer with non-degenerate random values so a
+    layout mistake cannot hide behind zeros/ones initialization."""
+    g = torch_mod.Generator().manual_seed(7)
+    sd = model.state_dict()
+    for k, v in sd.items():
+        if v.dtype.is_floating_point:
+            if "running_var" in k:
+                sd[k] = 0.5 + torch_mod.rand(v.shape, generator=g)
+            else:
+                sd[k] = torch_mod.randn(v.shape, generator=g) * 0.05
+    model.load_state_dict(sd)
+    return model
+
+
+def _assert_roundtrip(exported, sd, skip_prefixes=(), skip_exported=()):
+    for k, v in exported.items():
+        if any(k.startswith(p) for p in skip_exported):
+            continue
+        np.testing.assert_allclose(v, sd[k].numpy(), rtol=1e-6, err_msg=k)
+    missing = {
+        k for k in sd
+        if k not in exported
+        and not k.endswith("num_batches_tracked")  # torch BN step counter: no flax analogue
+        and not any(k.startswith(p) for p in skip_prefixes)
+    }
+    assert not missing, f"keys not covered by converter: {sorted(missing)[:10]}"
+
+
+# ------------------------------------------------------------ TransReID ViT
+
+
+def test_transreid_vit_numerical_parity(torch_mod, ref_vit):
+    """Reference TransReID (overlapping stride-12 patches, SIE cameras) →
+    converter → flax ViTReID reproduces the torch embedding."""
+    from daliid_tpu.models.vit import ViTReID
+
+    t = torch_mod
+    img = (64, 32)
+    m = ref_vit.vit_base_patch16_224_TransReID(
+        img_size=img, stride_size=12, drop_path_rate=0.0, camera=3, view=0,
+        local_feature=False, sie_xishu=3.0,
+    )
+    _randomize(t, m).eval()
+    x = t.randn(4, 3, *img, generator=t.Generator().manual_seed(1))
+    cams = t.tensor([0, 2, 1, 0])
+    with t.no_grad():
+        ref_out = m(x, cam_label=cams).numpy()
+
+    variables = tp.vit_reid_from_torch(m.state_dict())
+    flax_m = ViTReID(
+        img_size=img, patch_size=16, patch_stride=12, sie_cameras=3,
+        sie_coef=3.0, drop_path_rate=0.0,
+    )
+    mine = flax_m.apply(
+        variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        camera_ids=jnp.asarray(cams.numpy()), train=False,
+    )
+    # torch returns the pre-neck cls token; the converted neck is identity
+    # (scale 1 / bias 0 / stats 0,1) up to the BN epsilon
+    np.testing.assert_allclose(np.asarray(mine), ref_out, rtol=2e-4, atol=2e-5)
+
+
+def test_vit_round_trip(torch_mod, ref_vit):
+    t = torch_mod
+    m = ref_vit.vit_base_patch16_224_TransReID(
+        img_size=(64, 32), stride_size=16, drop_path_rate=0.0, camera=2, view=0,
+        local_feature=False,
+    )
+    _randomize(t, m)
+    variables = tp.vit_reid_from_torch(m.state_dict())
+    exported = tp.vit_reid_to_torch_keys(variables, wrapper="bare")
+    # the bare backbone has no BN neck; the converter synthesizes an identity
+    # one on import, so skip its exported keys
+    # `fc` is TransReID's unused ImageNet classifier head (vit_pytorch.py)
+    _assert_roundtrip(
+        exported, m.state_dict(), skip_prefixes=("fc.",), skip_exported=("last_bn.",)
+    )
+
+
+def test_vit_pos_embed_resize_on_load(torch_mod, ref_vit):
+    """Loading a checkpoint at a different resolution resizes the position
+    grid exactly like vit_pytorch.py:410-450."""
+    from daliid_tpu.models.vit import ViTReID
+
+    t = torch_mod
+    m = ref_vit.vit_base_patch16_224_TransReID(
+        img_size=(64, 32), stride_size=16, drop_path_rate=0.0, camera=0, view=0,
+    )
+    _randomize(t, m).eval()
+    target = ViTReID(img_size=(96, 48), patch_size=16, patch_stride=16, drop_path_rate=0.0)
+    variables = tp.vit_reid_from_torch(
+        m.state_dict(), grid_hw=target.grid_hw, ckpt_grid_hw=(4, 2)
+    )
+    assert variables["params"]["pos_embed"].shape == (1, 1 + 6 * 3, 768)
+    out = target.apply(variables, jnp.zeros((1, 96, 48, 3)), train=False)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_torchvision_vit_key_scheme(torch_mod, ref_vit):
+    """The torchvision ``vit_b_16`` wrapper scheme (Encoders.py:767-828) maps
+    through the same converter: rename a TransReID state_dict into the
+    torchvision naming and require identical converted output."""
+    t = torch_mod
+    img = (64, 32)
+    m = ref_vit.vit_base_patch16_224_TransReID(
+        img_size=img, stride_size=16, drop_path_rate=0.0, camera=0, view=0,
+    )
+    _randomize(t, m).eval()
+    sd = m.state_dict()
+
+    tv_sd = {}
+    for k, v in sd.items():
+        nk = (
+            k.replace("cls_token", "class_token")
+            .replace("pos_embed", "encoder.pos_embedding")
+            .replace("patch_embed.proj", "conv_proj")
+        )
+        if nk.startswith("blocks."):
+            _, idx, rest = nk.split(".", 2)
+            rest = (
+                rest.replace("norm1", "ln_1")
+                .replace("norm2", "ln_2")
+                .replace("attn.proj", "self_attention.out_proj")
+                .replace("attn.qkv.weight", "self_attention.in_proj_weight")
+                .replace("attn.qkv.bias", "self_attention.in_proj_bias")
+                .replace("mlp.fc1", "mlp.0")
+                .replace("mlp.fc2", "mlp.3")
+            )
+            nk = f"encoder.layers.encoder_layer_{idx}.{rest}"
+        elif nk == "norm.weight":
+            nk = "encoder.ln.weight"
+        elif nk == "norm.bias":
+            nk = "encoder.ln.bias"
+        tv_sd[nk] = v
+
+    v1 = tp.vit_reid_from_torch(sd)
+    v2 = tp.vit_reid_from_torch(tv_sd)
+    flat1 = jax.tree_util.tree_leaves_with_path(v1)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(v2))
+    assert len(flat1) == len(flat2)
+    for path, leaf in flat1:
+        np.testing.assert_allclose(leaf, flat2[path], rtol=0, err_msg=str(path))
+
+
+# ---------------------------------------------------------------------- JPM
+
+
+def _fake_transreid_cfg(img, num_classes_unused, stride=16):
+    ns = types.SimpleNamespace
+    return ns(
+        MODEL=ns(
+            PRETRAIN_PATH="", PRETRAIN_CHOICE="none", COS_LAYER=False, NECK="bnneck",
+            TRANSFORMER_TYPE="vit_base_patch16_224_TransReID", SIE_CAMERA=False,
+            SIE_VIEW=False, SIE_COE=3.0, JPM=True, STRIDE_SIZE=stride, DROP_PATH=0.0,
+            DROP_OUT=0.0, ATT_DROP_RATE=0.0, ID_LOSS_TYPE="softmax",
+            SHUFFLE_GROUP=2, SHIFT_NUM=5, DEVIDE_LENGTH=4,
+        ),
+        TEST=ns(NECK_FEAT="before"),
+        INPUT=ns(SIZE_TRAIN=img),
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_jpm(torch_mod, ref_vit):
+    import make_models
+
+    m = make_models.build_transformer_local(
+        num_classes=7, camera_num=0, view_num=0,
+        cfg=_fake_transreid_cfg((64, 32), 7),
+        factory=make_models.__factory_T_type, rearrange=True,
+    )
+    return _randomize(torch_mod, m)
+
+
+def test_jpm_numerical_parity(torch_mod, ref_jpm):
+    """build_transformer_local (make_models.py:221-389) eval forward —
+    shuffle_unit, shared b2, 5 necks, /4 local scaling — reproduced from the
+    converted checkpoint."""
+    from daliid_tpu.models.transreid_jpm import TransReIDJPM
+
+    t = torch_mod
+    ref_jpm.eval()
+    x = t.randn(3, 3, 64, 32, generator=t.Generator().manual_seed(2))
+    with t.no_grad():
+        ref_out = ref_jpm(x).numpy()
+
+    flax_m = TransReIDJPM(
+        img_size=(64, 32), patch_size=16, patch_stride=16, drop_path_rate=0.0,
+        num_classes=7, neck_feat="before",
+    )
+    variables = tp.transreid_jpm_from_torch(ref_jpm.state_dict())
+    mine = flax_m.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(mine), ref_out, rtol=2e-4, atol=2e-5)
+
+
+def test_jpm_round_trip(ref_jpm):
+    variables = tp.transreid_jpm_from_torch(ref_jpm.state_dict())
+    exported = tp.transreid_jpm_to_torch_keys(variables)
+    # base.blocks.11 / base.norm exist in the torch model only as the
+    # deepcopy sources of b1/b2 (make_models.py:249-257) and are not mapped
+    _assert_roundtrip(
+        exported, ref_jpm.state_dict(),
+        skip_prefixes=("base.blocks.11.", "base.norm.", "base.fc."),
+    )
+
+
+# -------------------------------------------------------------------- OSNet
+
+
+def _build_torch_osnet(torch_mod):
+    """Minimal torch mirror of torchreid's osnet_x1_0 under the OSNETReID
+    wrapper key scheme (Encoders.py:642-684): stage attributes conv1..conv5 +
+    last_bn, torchreid-internal naming inside."""
+    t = torch_mod
+    nn = t.nn
+
+    class ConvLayer(nn.Module):
+        def __init__(self, cin, cout, k, s=1, p=0):
+            super().__init__()
+            self.conv = nn.Conv2d(cin, cout, k, stride=s, padding=p, bias=False)
+            self.bn = nn.BatchNorm2d(cout)
+
+        def forward(self, x):
+            return t.relu(self.bn(self.conv(x)))
+
+    class Conv1x1(ConvLayer):
+        def __init__(self, cin, cout):
+            super().__init__(cin, cout, 1)
+
+    class Conv1x1Linear(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.conv = nn.Conv2d(cin, cout, 1, bias=False)
+            self.bn = nn.BatchNorm2d(cout)
+
+        def forward(self, x):
+            return self.bn(self.conv(x))
+
+    class LightConv3x3(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, cout, 1, bias=False)
+            self.conv2 = nn.Conv2d(cout, cout, 3, padding=1, groups=cout, bias=False)
+            self.bn = nn.BatchNorm2d(cout)
+
+        def forward(self, x):
+            return t.relu(self.bn(self.conv2(self.conv1(x))))
+
+    class ChannelGate(nn.Module):
+        def __init__(self, c, reduction=16):
+            super().__init__()
+            self.fc1 = nn.Conv2d(c, c // reduction, 1)
+            self.fc2 = nn.Conv2d(c // reduction, c, 1)
+
+        def forward(self, x):
+            g = x.mean((2, 3), keepdim=True)
+            g = t.sigmoid(self.fc2(t.relu(self.fc1(g))))
+            return x * g
+
+    class OSBlock(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            mid = cout // 4
+            self.conv1 = Conv1x1(cin, mid)
+            self.conv2a = LightConv3x3(mid, mid)
+            self.conv2b = nn.Sequential(*[LightConv3x3(mid, mid) for _ in range(2)])
+            self.conv2c = nn.Sequential(*[LightConv3x3(mid, mid) for _ in range(3)])
+            self.conv2d = nn.Sequential(*[LightConv3x3(mid, mid) for _ in range(4)])
+            self.gate = ChannelGate(mid)
+            self.conv3 = Conv1x1Linear(mid, cout)
+            self.downsample = Conv1x1Linear(cin, cout) if cin != cout else None
+
+        def forward(self, x):
+            identity = x if self.downsample is None else self.downsample(x)
+            y = self.conv1(x)
+            z = (
+                self.gate(self.conv2a(y)) + self.gate(self.conv2b(y))
+                + self.gate(self.conv2c(y)) + self.gate(self.conv2d(y))
+            )
+            return t.relu(self.conv3(z) + identity)
+
+    class OSNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = ConvLayer(3, 64, 7, 2, 3)
+            self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+            self.conv2 = nn.Sequential(
+                OSBlock(64, 256), OSBlock(256, 256),
+                nn.Sequential(Conv1x1(256, 256), nn.AvgPool2d(2, stride=2)),
+            )
+            self.conv3 = nn.Sequential(
+                OSBlock(256, 384), OSBlock(384, 384),
+                nn.Sequential(Conv1x1(384, 384), nn.AvgPool2d(2, stride=2)),
+            )
+            self.conv4 = nn.Sequential(OSBlock(384, 512), OSBlock(512, 512))
+            self.conv5 = Conv1x1(512, 512)
+            self.last_bn = nn.BatchNorm1d(512)
+
+        def forward(self, x):
+            x = self.conv5(self.conv4(self.conv3(self.conv2(self.maxpool(self.conv1(x))))))
+            v = x.mean((2, 3)) + x.amax((2, 3))
+            return self.last_bn(v)
+
+    return OSNet()
+
+
+def test_osnet_numerical_parity_and_round_trip(torch_mod):
+    from daliid_tpu.models.osnet import OSNetReID
+
+    t = torch_mod
+    m = _randomize(t, _build_torch_osnet(t)).eval()
+    x = t.randn(2, 3, 64, 32, generator=t.Generator().manual_seed(3))
+    with t.no_grad():
+        ref_out = m(x).numpy()
+
+    variables = tp.osnet_reid_from_torch(m.state_dict())
+    mine = OSNetReID().apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(mine), ref_out, rtol=2e-4, atol=2e-5)
+
+    _assert_roundtrip(tp.osnet_reid_to_torch_keys(variables), m.state_dict())
+
+
+# -------------------------------------------------------------- DenseNet121
+
+
+def _build_torch_densenet(torch_mod, block_sizes, growth=8):
+    """torchvision densenet ``features`` naming under the DenseNet121ReID
+    wrapper (Encoders.py:606-639): model_base.{conv0,norm0,denseblock*,
+    transition*,norm5} + last_bn + classification."""
+    t = torch_mod
+    nn = t.nn
+
+    class DenseLayer(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.norm1 = nn.BatchNorm2d(cin)
+            self.conv1 = nn.Conv2d(cin, 4 * growth, 1, bias=False)
+            self.norm2 = nn.BatchNorm2d(4 * growth)
+            self.conv2 = nn.Conv2d(4 * growth, growth, 3, padding=1, bias=False)
+
+        def forward(self, x):
+            y = self.conv1(t.relu(self.norm1(x)))
+            y = self.conv2(t.relu(self.norm2(y)))
+            return t.cat([x, y], 1)
+
+    class Transition(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.norm = nn.BatchNorm2d(cin)
+            self.conv = nn.Conv2d(cin, cout, 1, bias=False)
+
+        def forward(self, x):
+            return t.nn.functional.avg_pool2d(self.conv(t.relu(self.norm(x))), 2, 2)
+
+    class Features(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv0 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.norm0 = nn.BatchNorm2d(64)
+            ch = 64
+            for bi, n in enumerate(block_sizes, start=1):
+                block = nn.Module()
+                for li in range(n):
+                    block.add_module(f"denselayer{li + 1}", DenseLayer(ch))
+                    ch += growth
+                setattr(self, f"denseblock{bi}", block)
+                if bi < len(block_sizes):
+                    setattr(self, f"transition{bi}", Transition(ch, ch // 2))
+                    ch //= 2
+            self.norm5 = nn.BatchNorm2d(ch)
+            self.out_ch = ch
+
+        def forward(self, x):
+            x = t.nn.functional.max_pool2d(t.relu(self.norm0(self.conv0(x))), 3, 2, 1)
+            for bi in range(1, len(block_sizes) + 1):
+                block = getattr(self, f"denseblock{bi}")
+                for li in range(block_sizes[bi - 1]):
+                    x = getattr(block, f"denselayer{li + 1}")(x)
+                if bi < len(block_sizes):
+                    x = getattr(self, f"transition{bi}")(x)
+            return self.norm5(x)
+
+    class Wrapper(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model_base = Features()
+            self.last_bn = nn.BatchNorm1d(2 * self.model_base.out_ch)
+            self.classification = nn.Linear(2 * self.model_base.out_ch, 5, bias=False)
+
+        def forward(self, x):
+            x = t.relu(self.model_base(x))
+            v = x.mean((2, 3)) + x.amax((2, 3))
+            return self.last_bn(t.cat([v, v], 1))
+
+    return Wrapper()
+
+
+def test_densenet_numerical_parity_and_round_trip(torch_mod):
+    from daliid_tpu.models.densenet import DenseNet121ReID
+
+    t = torch_mod
+    block_sizes = (2, 3)
+    m = _randomize(t, _build_torch_densenet(t, block_sizes)).eval()
+    x = t.randn(2, 3, 64, 32, generator=t.Generator().manual_seed(4))
+    with t.no_grad():
+        ref_out = m(x).numpy()
+
+    variables = tp.densenet121_reid_from_torch(m.state_dict(), block_sizes=block_sizes)
+    flax_m = DenseNet121ReID(block_sizes=block_sizes, growth=8, num_classes=5)
+    # the flax stem is 64-wide by default; the converted kernels carry the
+    # torch shapes, so apply with the converted tree directly
+    mine = flax_m.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(mine), ref_out, rtol=2e-4, atol=2e-5)
+
+    _assert_roundtrip(
+        tp.densenet121_reid_to_torch_keys(variables, block_sizes=block_sizes), m.state_dict()
+    )
+
+
+# -------------------------------------------------------------- IBN ResNet
+
+
+def _build_torch_ibn_resnet(torch_mod, stage_sizes):
+    """torch.hub resnet*_ibn_a naming under the ResNet50IBNReID wrapper
+    (Encoders.py:462-531): bottleneck bn1 = IBN module (IN + BN halves) in
+    stages 1-3, stem without ReLU, GAP+GMP sum, last_bn."""
+    t = torch_mod
+    nn = t.nn
+
+    class IBN(nn.Module):
+        def __init__(self, planes):
+            super().__init__()
+            self.half = planes // 2
+            self.IN = nn.InstanceNorm2d(self.half, affine=True)
+            self.BN = nn.BatchNorm2d(planes - self.half)
+
+        def forward(self, x):
+            a = self.IN(x[:, : self.half])
+            b = self.BN(x[:, self.half :])
+            return t.cat([a, b], 1)
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, planes, stride=1, ibn=False, expansion=4):
+            super().__init__()
+            cout = planes * expansion
+            self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+            self.bn1 = IBN(planes) if ibn else nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, cout, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(cout)
+            self.downsample = None
+            if cin != cout or stride != 1:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride=stride, bias=False), nn.BatchNorm2d(cout)
+                )
+
+        def forward(self, x):
+            identity = x if self.downsample is None else self.downsample(x)
+            y = t.relu(self.bn1(self.conv1(x)))
+            y = t.relu(self.bn2(self.conv2(y)))
+            return t.relu(self.bn3(self.conv3(y)) + identity)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            cin = 64
+            planes = (64, 128, 256, 512)
+            strides = (1, 2, 2, 1)  # last-stride-1 (Encoders.py:478-479)
+            for s, (n, p, st) in enumerate(zip(stage_sizes, planes, strides), start=1):
+                blocks = []
+                for b in range(n):
+                    blocks.append(Bottleneck(cin, p, st if b == 0 else 1, ibn=s < 4))
+                    cin = p * 4
+                setattr(self, f"layer{s}", nn.Sequential(*blocks))
+            self.last_bn = nn.BatchNorm1d(2048)
+
+        def forward(self, x):
+            x = self.bn1(self.conv1(x))  # no stem ReLU (Encoders.py:497)
+            x = t.nn.functional.max_pool2d(x, 3, 2, 1)
+            for s in range(1, 5):
+                x = getattr(self, f"layer{s}")(x)
+            v = x.mean((2, 3)) + x.amax((2, 3))
+            return self.last_bn(v)
+
+    return Net()
+
+
+def test_ibn_resnet_numerical_parity_and_round_trip(torch_mod):
+    from daliid_tpu.models.resnet import ResNet50ReID
+
+    t = torch_mod
+    stage_sizes = (1, 1, 1, 1)
+    m = _randomize(t, _build_torch_ibn_resnet(t, stage_sizes)).eval()
+    x = t.randn(2, 3, 64, 32, generator=t.Generator().manual_seed(5))
+    with t.no_grad():
+        ref_out = m(x).numpy()
+
+    variables = tp.resnet_ibn_reid_from_torch(m.state_dict(), stage_sizes=stage_sizes)
+    flax_m = ResNet50ReID(stage_sizes=stage_sizes, ibn=True)
+    mine = flax_m.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(mine), ref_out, rtol=2e-4, atol=2e-5)
+
+    _assert_roundtrip(
+        tp.resnet_ibn_reid_to_torch_keys(variables, stage_sizes=stage_sizes), m.state_dict()
+    )
+
+
+# ------------------------------------------------------------------ dispatch
+
+
+def test_variables_from_torch_dispatch(torch_mod, ref_vit):
+    from daliid_tpu.models import get_model
+
+    t = torch_mod
+    m = ref_vit.vit_base_patch16_224_TransReID(
+        img_size=(64, 32), stride_size=16, drop_path_rate=0.0, camera=0, view=0
+    )
+    _randomize(t, m)
+    bundle = get_model("vit", jax.random.key(0), img_size=(64, 32))
+    variables = tp.variables_from_torch("vit", m.state_dict(), module=bundle.module)
+    out = bundle.module.apply(variables, jnp.zeros((1, 64, 32, 3)), train=False)
+    assert out.shape == (1, 768)
