@@ -59,6 +59,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--extractor_batch", type=int, default=512)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--skip_initial_eval", action="store_true")
+    p.add_argument(
+        "--num_classes", type=int, default=0,
+        help="classifier head size for classifier/JPM models; -1 = #train ids",
+    )
+    p.add_argument(
+        "--id_loss_type", type=str, default="softmax",
+        choices=["softmax", "arcface", "cosface", "amsoftmax", "circle"],
+        help="ID-loss head (make_models.py:260-277 equivalents)",
+    )
     return p
 
 
@@ -87,6 +96,8 @@ def config_from_args(args) -> TrainConfig:
         metrics_dir=args.path_to_save_metrics,
         version=args.version,
         extractor_batch=args.extractor_batch,
+        num_classes=args.num_classes,
+        id_loss_type=args.id_loss_type,
     )
 
 
@@ -116,8 +127,10 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
 
         turbulence_dir = os.path.join(_dr(cfg.data_root), "Synthetic", "turbulence")
 
+    num_classes = cfg.num_classes if cfg.num_classes >= 0 else train_table.num_ids
     online, momentum = build_model_pair(
-        cfg.model_name, jax.random.key(cfg.seed), img_size=cfg.img_size, dtype=dtype
+        cfg.model_name, jax.random.key(cfg.seed), img_size=cfg.img_size, dtype=dtype,
+        num_classes=num_classes, id_loss_type=cfg.id_loss_type,
     )
     if cfg.model_path:
         from daliid_tpu.train.checkpoint import load_variables

@@ -28,6 +28,12 @@ class TrainConfig:
     kind_of_transform: int = 1            # 1 = AT-paired, 0 = clean (mainKIT.py:340)
     is_clean_training: bool = False       # mainKIT.py:337
 
+    # classifier / margin head (TransReID-JPM training,
+    # make_models.py:258-304; -1 = one class per training identity)
+    num_classes: int = 0
+    id_loss_type: str = "softmax"         # softmax | arcface | cosface |
+                                          # amsoftmax | circle
+
     # sampler
     P: int = 16                           # mainKIT.py:326
     K: int = 12                           # mainKIT.py:327

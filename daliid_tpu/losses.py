@@ -215,11 +215,14 @@ def proxy_loss(batch_fvs, batch_labels, proxies, proxy_labels, top_negs=50, tau=
     return jnp.mean(per_sample)
 
 
-def weighted_cross_entropy_loss(probs, labels, samples_distortion, epoch, num_epochs):
+def weighted_cross_entropy_loss(probs, labels, samples_distortion, epoch, num_epochs,
+                                sample_mask=None):
     """Distortion-weighted CE over classifier probabilities
     (``BatchWeightedCrossEntropyLoss``, ``losses.py:152-187``), 13-level
     table, normalization by ``sum(w)``."""
     w = _weights_for(samples_distortion, epoch, num_epochs, N_MIN_13)
+    if sample_mask is not None:
+        w = w * sample_mask
     nll = -jnp.log(jnp.take_along_axis(probs, labels[:, None], axis=1)[:, 0] + _EPS)
     loss = jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), _EPS)
     avg_max_prob = jnp.mean(jnp.max(probs, axis=1))

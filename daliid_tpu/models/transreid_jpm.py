@@ -61,6 +61,9 @@ class TransReIDJPM(nn.Module):
     shuffle_groups: int = 2     # cfg.MODEL.SHUFFLE_GROUP
     rearrange: bool = True      # cfg.MODEL.RE_ARRANGE
     neck_feat: str = "before"   # cfg.TEST.NECK_FEAT
+    id_loss_type: str = "softmax"  # cfg.MODEL.ID_LOSS_TYPE: 'softmax' or a
+                                   # margin head (arcface/cosface/amsoftmax/
+                                   # circle, make_models.py:260-277)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -68,7 +71,7 @@ class TransReIDJPM(nn.Module):
         return 5 * self.embed_dim
 
     @nn.compact
-    def __call__(self, x, camera_ids=None, view_ids=None, train: bool = False):
+    def __call__(self, x, camera_ids=None, view_ids=None, labels=None, train: bool = False):
         trunk = ViTReID(
             img_size=self.img_size,
             patch_size=self.patch_size,
@@ -120,10 +123,19 @@ class TransReIDJPM(nn.Module):
                 self.num_classes, use_bias=False, dtype=jnp.float32,
                 kernel_init=nn.initializers.normal(0.001), name=name,
             )
-            scores = [cls_head("classifier")(feat)] + [
+            global_head = cls_head("classifier")
+            scores = [global_head(feat)] + [
                 cls_head(f"classifier_{i+1}")(lbn) for i, lbn in enumerate(local_bns)
             ]
             if train:
+                if self.id_loss_type != "softmax" and labels is not None:
+                    # margin heads apply to the GLOBAL post-neck feature only
+                    # (classifier(feat, label), make_models.py:361-363); the
+                    # local plain-softmax branches are not used upstream
+                    from daliid_tpu.margins import margin_logits
+
+                    kernel = global_head.variables["params"]["kernel"]
+                    scores = [margin_logits(self.id_loss_type, feat, kernel, labels)]
                 return scores, [global_feat] + locals_
 
         if self.neck_feat == "after":

@@ -124,9 +124,12 @@ class Trainer:
 
         # SIE-conditioned backbones (TransReID, vit.py camera/view embeddings)
         # take camera_ids in their forward; detect once and plumb batch camids
-        self._takes_camera_ids = "camera_ids" in _inspect.signature(
-            type(self.module).__call__
-        ).parameters
+        _call_params = _inspect.signature(type(self.module).__call__).parameters
+        self._takes_camera_ids = "camera_ids" in _call_params
+        # margin-headed models (TransReIDJPM id_loss_type != softmax) take the
+        # batch labels in their forward (classifier(feat, label),
+        # make_models.py:361-363)
+        self._takes_labels = "labels" in _call_params
         self.sampler = sampler
         self.img_size = tuple(img_size)
         self.tau = tau
@@ -226,6 +229,7 @@ class Trainer:
 
         self._augment = augment
         takes_camera_ids = self._takes_camera_ids
+        takes_labels = self._takes_labels
 
         @functools.partial(
             jax.jit,
@@ -262,6 +266,8 @@ class Trainer:
 
             def loss_fn(params):
                 extra = {"camera_ids": camids} if takes_camera_ids else {}
+                if takes_labels:
+                    extra["labels"] = labels
                 out, updates = module.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     images,
@@ -270,16 +276,58 @@ class Trainer:
                     rngs={"droppath": droppath_key},  # stochastic depth (ViT)
                     **extra,
                 )
-                # classifier-headed models (densenet121(num_classes>0),
-                # Encoders.py:633-637) return (embedding, logits) in train
-                # mode: add the distortion-weighted CE on the logits
-                # (BatchWeightedCrossEntropyLoss, losses.py:152-187)
                 id_loss = 0.0
-                if isinstance(out, tuple) and len(out) == 2:
+                if (
+                    isinstance(out, tuple) and len(out) == 2
+                    and isinstance(out[0], (list, tuple))
+                ):
+                    # JPM multi-branch train mode: ([scores...], [feats...])
+                    # (build_transformer_local, make_models.py:351-377). The
+                    # TransReID recipe weights the global branch 1/2 and the
+                    # local branches 1/2 jointly, for both the ID loss and
+                    # the hardest-triplet loss; ours uses the distortion-
+                    # weighted variants so AT pairing composes with JPM.
+                    scores, branch_feats = out
+
+                    def wce(logits_):
+                        l, _ = L.weighted_cross_entropy_loss(
+                            jax.nn.softmax(logits_, axis=-1), labels, distortions,
+                            epoch, num_epochs, sample_mask=mask,
+                        )
+                        return l
+
+                    def wtri(f):
+                        fn = f / (jnp.linalg.norm(f, axis=1, keepdims=True) + 1e-9)
+                        return L.weighted_softmax_triplet_loss(
+                            fn, labels, distortions, epoch, num_epochs,
+                            tau=tau, sample_mask=mask,
+                        )
+
+                    id_terms = [wce(s) for s in scores]
+                    tri_terms = [wtri(f) for f in branch_feats]
+
+                    def branch_mix(terms):
+                        if len(terms) == 1:
+                            return terms[0]
+                        return 0.5 * terms[0] + 0.5 * jnp.mean(jnp.stack(terms[1:]))
+
+                    id_loss = branch_mix(id_terms) + branch_mix(tri_terms)
+                    # the DaliID center/proxy losses act on the model's eval
+                    # representation: concat([global, locals/4])
+                    # (make_models.py:375-377) — the same space the epoch
+                    # miner embeds with
+                    out = jnp.concatenate(
+                        [branch_feats[0]] + [f / 4.0 for f in branch_feats[1:]], axis=1
+                    )
+                elif isinstance(out, tuple) and len(out) == 2:
+                    # classifier-headed models (densenet121(num_classes>0),
+                    # Encoders.py:633-637) return (embedding, logits) in train
+                    # mode: add the distortion-weighted CE on the logits
+                    # (BatchWeightedCrossEntropyLoss, losses.py:152-187)
                     out, logits = out
                     probs = jax.nn.softmax(logits, axis=-1)
                     id_loss, _ = L.weighted_cross_entropy_loss(
-                        probs, labels, distortions, epoch, num_epochs
+                        probs, labels, distortions, epoch, num_epochs, sample_mask=mask
                     )
                 fvs = out / (jnp.linalg.norm(out, axis=1, keepdims=True) + 1e-9)
                 center_loss, aux = L.weighted_center_loss(

@@ -206,6 +206,73 @@ def test_trainer_classifier_head_model(synth):
     assert np.isfinite(metrics["loss"])
 
 
+def _tiny_jpm_pair(num_classes, id_loss_type="softmax"):
+    from daliid_tpu.models.transreid_jpm import TransReIDJPM
+
+    m = TransReIDJPM(
+        img_size=IMG, patch_size=8, patch_stride=8, embed_dim=32, depth=2,
+        num_heads=2, drop_path_rate=0.0, num_classes=num_classes,
+        id_loss_type=id_loss_type,
+    )
+    v = m.init({"params": jax.random.key(0)}, jnp.zeros((1, *IMG, 3)), train=False)
+    online = ModelBundle(module=m, variables=v, feature_dim=5 * 32, name="tinyjpm")
+    momentum = ModelBundle(
+        module=m, variables=jax.tree.map(jnp.copy, v), feature_dim=5 * 32, name="tinyjpm"
+    )
+    return online, momentum
+
+
+def test_trainer_jpm_multibranch(synth):
+    """End-to-end JPM training on the mesh: the (scores-list, feats-list)
+    train output (make_models.py:351-377) feeds per-branch weighted ID +
+    triplet losses plus the center/proxy losses on the concat embedding."""
+    splits, turb = synth
+    t = splits["train"]
+    online, momentum = _tiny_jpm_pair(num_classes=t.num_ids)
+    sampler = PKBatchSampler(t, t.pids, P=3, K=2, kind_of_transform=1, turbulence_dir=turb, seed=0)
+    trainer = Trainer(
+        online, momentum, sampler, img_size=IMG, num_epochs=4, base_lr=1e-3,
+        compute_dtype=jnp.float32, extractor_batch=16,
+    )
+    p_before = jax.device_get(trainer.state.params)
+    metrics = trainer.train_epoch(1)
+    assert np.isfinite(metrics["loss"]) and metrics["loss"] > 0
+    p_after = jax.device_get(trainer.state.params)
+    changed = [
+        k for k in p_before
+        if any(
+            not np.allclose(x, y)
+            for x, y in zip(jax.tree.leaves(p_before[k]), jax.tree.leaves(p_after[k]))
+        )
+    ]
+    # every branch trains: trunk, b1/b2, all 5 classifiers and necks
+    for expected in ("base", "b1_block", "b2_block", "classifier", "classifier_4",
+                     "bottleneck", "bottleneck_4"):
+        assert expected in changed, (expected, sorted(changed))
+
+
+@pytest.mark.parametrize("head", ["arcface", "circle"])
+def test_trainer_jpm_margin_head(synth, head):
+    """Margin heads (make_models.py:260-277) replace the global softmax
+    classifier; the labels are plumbed into the model forward."""
+    splits, _ = synth
+    t = splits["train"]
+    online, momentum = _tiny_jpm_pair(num_classes=t.num_ids, id_loss_type=head)
+    sampler = PKBatchSampler(t, t.pids, P=3, K=2, kind_of_transform=0, seed=0)
+    trainer = Trainer(
+        online, momentum, sampler, img_size=IMG, num_epochs=4, base_lr=1e-3,
+        compute_dtype=jnp.float32, extractor_batch=16,
+    )
+    assert trainer._takes_labels
+    p_before = jax.device_get(trainer.state.params)
+    metrics = trainer.train_epoch(1)
+    assert np.isfinite(metrics["loss"])
+    p_after = jax.device_get(trainer.state.params)
+    assert not np.allclose(
+        jax.tree.leaves(p_before["classifier"])[0], jax.tree.leaves(p_after["classifier"])[0]
+    )
+
+
 def test_trainer_lr_applied(synth):
     splits, turb = synth
     t = splits["train"]
