@@ -27,7 +27,10 @@ import jax.numpy as jnp
 
 from daliid_tpu.augment.preprocess import IMAGENET_MEAN, IMAGENET_STD
 
-_GRAY = jnp.asarray([0.299, 0.587, 0.114])  # ITU-R 601, torchvision's rgb_to_grayscale
+# ITU-R 601 luma weights (torchvision's rgb_to_grayscale). Kept as a plain
+# tuple: a module-scope jnp array would initialize the XLA backend at
+# import time, which breaks jax.distributed.initialize (must run first).
+_GRAY = (0.299, 0.587, 0.114)
 
 
 def _random_crop(img: jnp.ndarray, key: jax.Array, pad: int) -> jnp.ndarray:
@@ -49,7 +52,7 @@ def _color_jitter(img: jnp.ndarray, key: jax.Array, brightness, contrast, satura
     fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - saturation), maxval=1 + saturation)
 
     img = jnp.clip(img * fb, 0.0, 1.0)
-    gray = jnp.tensordot(img, _GRAY, axes=([-1], [0]))
+    gray = jnp.tensordot(img, jnp.asarray(_GRAY), axes=([-1], [0]))
     mean_gray = jnp.mean(gray)
     img = jnp.clip(mean_gray + fc * (img - mean_gray), 0.0, 1.0)
     img = jnp.clip(gray[..., None] + fs * (img - gray[..., None]), 0.0, 1.0)

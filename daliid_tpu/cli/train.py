@@ -68,6 +68,13 @@ def build_argparser() -> argparse.ArgumentParser:
         choices=["softmax", "arcface", "cosface", "amsoftmax", "circle"],
         help="ID-loss head (make_models.py:260-277 equivalents)",
     )
+    # multi-host (DCN) bootstrap: run the SAME command on every host
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize before device use")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (omit under TPU pod runtimes)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -239,6 +246,15 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
 
 if __name__ == "__main__":
     args = build_argparser().parse_args()
+    if args.multihost:
+        from daliid_tpu.parallel.distributed import initialize_multihost
+
+        info = initialize_multihost(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        print(f"multihost: {info}")
     main(config_from_args(args), resume=args.resume, skip_initial_eval=args.skip_initial_eval,
          num_iter=args.num_iter,
          momentum_on_feature_extraction=bool(args.momentum_on_feature_extraction))

@@ -19,17 +19,41 @@ from PIL import Image, ImageFilter
 from daliid_tpu.data.registry import parse_market_duke_dir
 
 
-def _identity_image(rng: np.random.Generator, pid: int, camid: int, h: int, w: int) -> Image.Image:
+def _identity_image(
+    rng: np.random.Generator, pid: int, camid: int, h: int, w: int,
+    appearance: str = "color",
+) -> Image.Image:
     """An image whose appearance is mostly a function of pid (so a model can
-    learn identity) with mild camera- and sample-level variation."""
+    learn identity) with mild camera- and sample-level variation.
+
+    ``appearance='color'``: identity = color pair + stripe period (easy; the
+    color signal survives turbulence, so clean-trained models stay accurate
+    on distorted galleries).
+    ``appearance='stripes'``: identity = stripe geometry only (period/phase/
+    duty/orientation at a shared grey palette) — a high-frequency signal that
+    turbulence blur degrades, so distortion-adaptive training has something
+    real to be robust to (the regime the DaliID method targets).
+    """
     base_rng = np.random.default_rng(pid * 7919 + 13)
-    base_color = base_rng.integers(40, 216, size=3)
-    stripe_color = base_rng.integers(40, 216, size=3)
-    stripe_period = int(base_rng.integers(4, 12))
-    img = np.zeros((h, w, 3), dtype=np.float32)
-    img[:] = base_color
-    rows = (np.arange(h) // stripe_period) % 2 == 0
-    img[rows] = stripe_color
+    if appearance == "stripes":
+        img = np.full((h, w, 3), 112.0, dtype=np.float32)
+        period = int(base_rng.integers(5, 13))
+        phase = int(base_rng.integers(0, period))
+        duty = int(base_rng.integers(1, period))
+        rows = ((np.arange(h) + phase) % period) < duty
+        img[rows] += 70.0
+        vperiod = int(base_rng.integers(4, 11))
+        vphase = int(base_rng.integers(0, vperiod))
+        cols = ((np.arange(w) + vphase) % vperiod) < max(vperiod // 2, 1)
+        img[:, cols] -= 35.0
+    else:
+        base_color = base_rng.integers(40, 216, size=3)
+        stripe_color = base_rng.integers(40, 216, size=3)
+        stripe_period = int(base_rng.integers(4, 12))
+        img = np.zeros((h, w, 3), dtype=np.float32)
+        img[:] = base_color
+        rows = (np.arange(h) // stripe_period) % 2 == 0
+        img[rows] = stripe_color
     # camera tint + per-sample noise
     img += (camid - 2) * 8.0
     img += rng.normal(0.0, 12.0, size=img.shape)
@@ -55,6 +79,8 @@ def make_synthetic_dataset(
     width: int = 32,
     with_turbulence: bool = True,
     seed: int = 12,
+    appearance: str = "color",
+    turbulence_splits: tuple = ("train",),
 ):
     """Build the tree and return (splits dict, turbulence_dir).
 
@@ -75,9 +101,9 @@ def make_synthetic_dataset(
     def emit(split: str, pid: int, idx: int) -> None:
         camid = int(rng.integers(1, num_cams + 1))
         name = f"{pid:04d}_c{camid}s1_{idx:06d}.jpg"
-        img = _identity_image(rng, pid, camid, height, width)
+        img = _identity_image(rng, pid, camid, height, width, appearance=appearance)
         img.save(os.path.join(dirs[split], name), quality=92)
-        if with_turbulence and split == "train":
+        if with_turbulence and split in turbulence_splits:
             stem = name[:-4]
             for s in range(1, 6):
                 _turbulence_render(img, s, rng).save(

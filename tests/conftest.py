@@ -28,6 +28,10 @@ assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end test")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(12)

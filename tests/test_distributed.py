@@ -1,0 +1,96 @@
+"""Two-process jax.distributed smoke test (CPU backend).
+
+Validates the multi-host path (`parallel/distributed.py`) the reference never
+had (SURVEY.md §2.3): two OS processes bootstrap through a localhost
+coordinator, see each other's devices, and run a cross-process psum over a
+global mesh — the DCN analogue of the data-parallel gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, {repo!r})
+from daliid_tpu.parallel.distributed import initialize_multihost
+
+info = initialize_multihost(
+    coordinator_address={coord!r},
+    num_processes=2,
+    process_id=int(sys.argv[1]),
+)
+assert info["process_count"] == 2, info
+assert info["global_devices"] == 2 * info["local_devices"], info
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+mesh = Mesh(np.array(jax.devices()), ("data",))
+n = len(jax.devices())
+
+def local_sum(x):
+    return jax.lax.psum(jnp.sum(x), "data")
+
+f = jax.jit(
+    shard_map(local_sum, mesh=mesh, in_specs=P("data"), out_specs=P()),
+    out_shardings=NamedSharding(mesh, P()),
+)
+# global array [0, 1, ..., n-1] sharded one element per device
+x = jax.make_array_from_callback(
+    (n,), NamedSharding(mesh, P("data")),
+    lambda idx: np.arange(n, dtype=np.float32)[idx],
+)
+total = f(x)
+expect = n * (n - 1) / 2
+assert float(total) == expect, (float(total), expect)
+print(f"proc{{info['process_index']}}: psum over {{n}} devices = {{float(total)}}")
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_psum():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    coord = f"127.0.0.1:{_free_port()}"
+    code = _WORKER.format(repo=repo, coord=coord)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # no TPU plugin in the workers
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=2"])
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
+    assert "psum over" in outs[0] and "psum over" in outs[1]
