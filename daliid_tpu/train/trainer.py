@@ -445,40 +445,48 @@ class Trainer:
                            # per-step host sync serializes dispatch
         epoch_arr = jax.device_put(jnp.float32(epoch), self._replicated)
         t0 = time.time()
-        # prefetch decode of the next batch while the device steps
         finetune_t0 = time.time()
+
+        def stage_batch(batch):
+            """Decode + pad + device_put one batch — runs on the prefetch
+            thread so the NEXT batch's host decode AND H2D staging overlap
+            the current device step (the reference overlaps decode only, via
+            DataLoader workers; H2D is serial there)."""
+            images_u8 = self._decode_batch(batch.paths)
+            # pad to a multiple of the mesh size with masked slots so the
+            # batch shards evenly (padding never reaches a loss)
+            n_dev = self.mesh.devices.size
+            pad = (-len(images_u8)) % n_dev
+            labels, distortions, mask = batch.labels, batch.distortions, batch.mask
+            camids = batch.camids
+            if pad:
+                images_u8 = np.concatenate([images_u8, np.repeat(images_u8[:1], pad, 0)])
+                labels = np.concatenate([labels, np.zeros(pad, np.int32)])
+                distortions = np.concatenate([distortions, np.zeros(pad, np.int32)])
+                mask = np.concatenate([mask, np.zeros(pad, bool)])
+                camids = np.concatenate([camids, np.zeros(pad, np.int32)])
+            put = lambda a: jax.device_put(a, self._batch_shard)
+            return (put(images_u8), put(labels), put(distortions), put(mask), put(camids))
+
         # the reference re-iterates the same loader num_iter times per epoch
         # between minings (train_encodersKIT.py:161)
         batches = [b for _ in range(self.num_iter) for b in self.sampler.epoch()]
         with cf.ThreadPoolExecutor(1) as prefetcher:
-            futures = [prefetcher.submit(self._decode_batch, b.paths) for b in batches[:1]]
-            for i, batch in enumerate(batches):
+            futures = [prefetcher.submit(stage_batch, b) for b in batches[:1]]
+            for i in range(len(batches)):
                 if i + 1 < len(batches):
-                    futures.append(prefetcher.submit(self._decode_batch, batches[i + 1].paths))
-                images_u8 = futures[i].result()
-                # pad to a multiple of the mesh size with masked slots so
-                # the batch shards evenly (padding never reaches a loss)
-                n_dev = self.mesh.devices.size
-                pad = (-len(images_u8)) % n_dev
-                labels, distortions, mask = batch.labels, batch.distortions, batch.mask
-                camids = batch.camids
-                if pad:
-                    images_u8 = np.concatenate([images_u8, np.repeat(images_u8[:1], pad, 0)])
-                    labels = np.concatenate([labels, np.zeros(pad, np.int32)])
-                    distortions = np.concatenate([distortions, np.zeros(pad, np.int32)])
-                    mask = np.concatenate([mask, np.zeros(pad, bool)])
-                    camids = np.concatenate([camids, np.zeros(pad, np.int32)])
+                    futures.append(prefetcher.submit(stage_batch, batches[i + 1]))
+                images_u8, labels, distortions, mask, camids = futures[i].result()
+                futures[i] = None  # free the staged device buffers
                 self._key, step_key = jax.random.split(self._key)
-                images = self._augment(
-                    jax.device_put(images_u8, self._batch_shard), step_key
-                )
+                images = self._augment(images_u8, step_key)
                 self.state, metrics = self._train_step(
                     self.state,
                     images,
-                    jax.device_put(labels, self._batch_shard),
-                    jax.device_put(distortions, self._batch_shard),
-                    jax.device_put(mask, self._batch_shard),
-                    jax.device_put(camids, self._batch_shard),
+                    labels,
+                    distortions,
+                    mask,
+                    camids,
                     centers,
                     proxies,
                     proxy_labels,

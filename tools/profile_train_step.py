@@ -1,0 +1,116 @@
+"""Profile the AT train step on the real chip (VERDICT item 4).
+
+Times the augmentation dispatch and the fused train step separately on
+device-resident protocol batches (384 images = P16*K12*2 pairs, 256x128,
+bf16), and optionally dumps a jax.profiler trace.
+
+Usage: python tools/profile_train_step.py [--trace] [--batch 384]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", action="store_true")
+    ap.add_argument("--batch", type=int, default=384)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--img_height", type=int, default=256)
+    ap.add_argument("--img_width", type=int, default=128)
+    args = ap.parse_args()
+
+    from daliid_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from daliid_tpu.data import make_synthetic_dataset
+    from daliid_tpu.models import build_model_pair
+    from daliid_tpu.train.sampler import PKBatchSampler
+    from daliid_tpu.train.trainer import Trainer
+
+    import tempfile
+
+    IMG = (args.img_height, args.img_width)
+    B = args.batch
+    root = tempfile.mkdtemp(prefix="prof_")
+    splits, turb = make_synthetic_dataset(
+        root, num_ids=4, imgs_per_id_train=3, imgs_per_id_test=2,
+        height=IMG[0], width=IMG[1],
+    )
+    train = splits["train"]
+    online, momentum = build_model_pair("resnet50", jax.random.key(0), img_size=IMG, dtype=jnp.bfloat16)
+    sampler = PKBatchSampler(train, train.pids, P=2, K=2, kind_of_transform=1,
+                             turbulence_dir=turb, seed=0)
+    trainer = Trainer(online, momentum, sampler, img_size=IMG, num_epochs=250,
+                      compute_dtype=jnp.bfloat16, extractor_batch=256, decode_workers=8)
+
+    rng = np.random.default_rng(0)
+    C = 16
+    images_u8 = jax.device_put(
+        rng.integers(0, 256, (B, *IMG, 3), dtype=np.uint8), trainer._batch_shard)
+    labels = jax.device_put(rng.integers(0, C, B).astype(np.int32), trainer._batch_shard)
+    dist = np.zeros(B, np.int32); dist[1::2] = rng.integers(1, 6, B // 2)
+    dist = jax.device_put(dist, trainer._batch_shard)
+    mask = jax.device_put(np.ones(B, bool), trainer._batch_shard)
+    camids = jax.device_put(np.zeros(B, np.int32), trainer._batch_shard)
+    centers = jax.device_put(
+        np.linalg.qr(rng.normal(size=(2048, C)))[0].T[:C].astype(np.float32), trainer._replicated)
+    proxies = jax.device_put(
+        (lambda x: x / np.linalg.norm(x, axis=1, keepdims=True))(
+            rng.normal(size=(5 * C, 2048)).astype(np.float32)), trainer._replicated)
+    plabels = jax.device_put(np.repeat(np.arange(C), 5).astype(np.int32), trainer._replicated)
+    epoch_arr = jax.device_put(jnp.float32(3), trainer._replicated)
+    key = jax.random.key(1)
+
+    def one_aug():
+        return trainer._augment(images_u8, key)
+
+    images = one_aug()
+    images.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        images = one_aug()
+    images.block_until_ready()
+    aug_ms = (time.perf_counter() - t0) / args.iters * 1e3
+
+    def one_step():
+        s, m = trainer._train_step(
+            trainer.state, images, labels, dist, mask, camids,
+            centers, proxies, plabels, epoch_arr, key)
+        return s, m
+
+    trainer.state, m = one_step()
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        trainer.state, m = one_step()
+    jax.block_until_ready(m)
+    step_ms = (time.perf_counter() - t0) / args.iters * 1e3
+
+    print(f"augment: {aug_ms:.2f} ms | train_step: {step_ms:.2f} ms | "
+          f"total {aug_ms + step_ms:.2f} ms → {B / (aug_ms + step_ms) * 1e3:.0f} img/s")
+
+    if args.trace:
+        tdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "traces")
+        os.makedirs(tdir, exist_ok=True)
+        with jax.profiler.trace(tdir):
+            for _ in range(3):
+                images = one_aug()
+                trainer.state, m = one_step()
+            jax.block_until_ready(m)
+        print(f"trace written to {tdir}")
+
+
+if __name__ == "__main__":
+    main()
