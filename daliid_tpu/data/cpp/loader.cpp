@@ -46,57 +46,99 @@ inline double cubic(double x) {
   return 0.0;
 }
 
-// Separable resample of one axis: in (n_in) -> out (n_out), per row of a
-// planar f32 buffer laid out [rows][n][channels].
-void resample_axis(const float* src, float* dst, int rows, int n_in, int n_out,
-                   int channels, int src_stride, int dst_stride) {
+// Precomputed filter windows for one axis (float weights, normalized).
+struct AxisFilter {
+  std::vector<int> starts;
+  std::vector<int> counts;
+  std::vector<int> offsets;
+  std::vector<float> weights;
+};
+
+AxisFilter make_filter(int n_in, int n_out) {
+  AxisFilter f;
+  f.starts.resize(n_out);
+  f.counts.resize(n_out);
+  f.offsets.resize(n_out);
   const double scale = static_cast<double>(n_in) / n_out;
   const double filterscale = std::max(scale, 1.0);
   const double support = 2.0 * filterscale;
-
-  std::vector<int> starts(n_out);
-  std::vector<int> counts(n_out);
-  std::vector<double> weights;
-  std::vector<int> offsets(n_out);
-
   for (int xx = 0; xx < n_out; ++xx) {
     const double center = (xx + 0.5) * scale;
     int xmin = static_cast<int>(std::max(0.0, std::floor(center - support)));
     int xmax = static_cast<int>(std::min<double>(n_in, std::ceil(center + support)));
-    offsets[xx] = static_cast<int>(weights.size());
+    f.offsets[xx] = static_cast<int>(f.weights.size());
     double total = 0.0;
+    std::vector<double> w(xmax - xmin);
     for (int x = xmin; x < xmax; ++x) {
-      double w = cubic((x + 0.5 - center) / filterscale);
-      weights.push_back(w);
-      total += w;
+      w[x - xmin] = cubic((x + 0.5 - center) / filterscale);
+      total += w[x - xmin];
     }
-    if (total != 0.0) {
-      for (size_t k = offsets[xx]; k < weights.size(); ++k) weights[k] /= total;
-    }
-    starts[xx] = xmin;
-    counts[xx] = xmax - xmin;
+    for (double v : w) f.weights.push_back(static_cast<float>(total != 0.0 ? v / total : v));
+    f.starts[xx] = xmin;
+    f.counts[xx] = xmax - xmin;
   }
+  return f;
+}
 
+// Horizontal pass: raw uint8 HWC rows -> float rows at the output width.
+// RGB is unrolled so the accumulators stay in registers.
+void resample_rows_u8(const uint8_t* src, float* dst, int rows, int n_in,
+                      int n_out, const AxisFilter& f) {
   for (int r = 0; r < rows; ++r) {
-    const float* in_row = src + static_cast<size_t>(r) * src_stride;
-    float* out_row = dst + static_cast<size_t>(r) * dst_stride;
+    const uint8_t* in_row = src + static_cast<size_t>(r) * n_in * 3;
+    float* out_row = dst + static_cast<size_t>(r) * n_out * 3;
     for (int xx = 0; xx < n_out; ++xx) {
-      const double* w = nullptr;
-      const int cnt = counts[xx];
-      const int x0 = starts[xx];
-      for (int c = 0; c < channels; ++c) {
-        double acc = 0.0;
-        for (int k = 0; k < cnt; ++k) {
-          acc += weights[offsets[xx] + k] * in_row[(x0 + k) * channels + c];
-        }
-        out_row[xx * channels + c] = static_cast<float>(acc);
+      const float* w = f.weights.data() + f.offsets[xx];
+      const uint8_t* p = in_row + f.starts[xx] * 3;
+      float a0 = 0.f, a1 = 0.f, a2 = 0.f;
+      for (int k = 0; k < f.counts[xx]; ++k, p += 3) {
+        const float wk = w[k];
+        a0 += wk * p[0];
+        a1 += wk * p[1];
+        a2 += wk * p[2];
       }
-      (void)w;
+      out_row[xx * 3 + 0] = a0;
+      out_row[xx * 3 + 1] = a1;
+      out_row[xx * 3 + 2] = a2;
     }
   }
 }
 
-int decode_one(const char* path, int out_h, int out_w, uint8_t* out) {
+// Vertical pass + quantize: each output row is a weighted sum of contiguous
+// input rows (SIMD-friendly AXPY over the full row) — no transposes.
+void resample_cols_to_u8(const float* mid, uint8_t* out, int h_in, int h_out,
+                         int row_elems, const AxisFilter& f,
+                         std::vector<float>& acc) {
+  acc.resize(row_elems);
+  for (int yy = 0; yy < h_out; ++yy) {
+    std::memset(acc.data(), 0, sizeof(float) * row_elems);
+    const float* w = f.weights.data() + f.offsets[yy];
+    for (int k = 0; k < f.counts[yy]; ++k) {
+      const float wk = w[k];
+      const float* src_row = mid + static_cast<size_t>(f.starts[yy] + k) * row_elems;
+      float* a = acc.data();
+      for (int i = 0; i < row_elems; ++i) a[i] += wk * src_row[i];
+    }
+    uint8_t* out_row = out + static_cast<size_t>(yy) * row_elems;
+    for (int i = 0; i < row_elems; ++i) {
+      const float v = acc[i];
+      out_row[i] = static_cast<uint8_t>(v < 0.f ? 0.f : (v > 255.f ? 255.f : v + 0.5f));
+    }
+  }
+}
+
+// Per-thread scratch reused across images (raw decode buffer, mid rows,
+// accumulator, and the filter cache keyed by source size).
+struct Scratch {
+  std::vector<uint8_t> raw;
+  std::vector<float> mid;
+  std::vector<float> acc;
+  int fw_in = -1, fw_out = -1, fh_in = -1, fh_out = -1;
+  AxisFilter fw, fh;
+};
+
+int decode_one(const char* path, int out_h, int out_w, uint8_t* out,
+               Scratch& s) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
 
@@ -118,9 +160,9 @@ int decode_one(const char* path, int out_h, int out_w, uint8_t* out) {
   const int w = cinfo.output_width;
   const int h = cinfo.output_height;
   const int ch = cinfo.output_components;  // 3 after JCS_RGB
-  std::vector<uint8_t> raw(static_cast<size_t>(w) * h * ch);
+  s.raw.resize(static_cast<size_t>(w) * h * ch);
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = raw.data() + static_cast<size_t>(cinfo.output_scanline) * w * ch;
+    uint8_t* row = s.raw.data() + static_cast<size_t>(cinfo.output_scanline) * w * ch;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
@@ -128,32 +170,26 @@ int decode_one(const char* path, int out_h, int out_w, uint8_t* out) {
   std::fclose(f);
 
   if (w == out_w && h == out_h) {
-    for (size_t i = 0; i < raw.size(); ++i) out[i] = raw[i];
+    std::memcpy(out, s.raw.data(), s.raw.size());
     return 0;
   }
 
-  // f32 planar-interleaved resample: width pass then height pass
-  std::vector<float> src_f(raw.begin(), raw.end());
-  std::vector<float> mid(static_cast<size_t>(h) * out_w * ch);
-  resample_axis(src_f.data(), mid.data(), h, w, out_w, ch, w * ch, out_w * ch);
-
-  // height pass: operate on columns — transpose view by striding
-  std::vector<float> mid_t(static_cast<size_t>(out_w) * h * ch);
-  for (int y = 0; y < h; ++y)
-    for (int x = 0; x < out_w; ++x)
-      for (int c = 0; c < ch; ++c)
-        mid_t[(static_cast<size_t>(x) * h + y) * ch + c] =
-            mid[(static_cast<size_t>(y) * out_w + x) * ch + c];
-  std::vector<float> out_t(static_cast<size_t>(out_w) * out_h * ch);
-  resample_axis(mid_t.data(), out_t.data(), out_w, h, out_h, ch, h * ch, out_h * ch);
-
-  for (int y = 0; y < out_h; ++y)
-    for (int x = 0; x < out_w; ++x)
-      for (int c = 0; c < ch; ++c) {
-        float v = out_t[(static_cast<size_t>(x) * out_h + y) * ch + c];
-        out[(static_cast<size_t>(y) * out_w + x) * ch + c] =
-            static_cast<uint8_t>(std::min(255.0f, std::max(0.0f, std::round(v))));
-      }
+  // separable Keys bicubic: horizontal pass (u8 -> f32 rows at out_w), then
+  // vertical row-AXPY pass straight to the uint8 output; filters cached per
+  // source size across images on the same thread
+  if (s.fw_in != w || s.fw_out != out_w) {
+    s.fw = make_filter(w, out_w);
+    s.fw_in = w;
+    s.fw_out = out_w;
+  }
+  if (s.fh_in != h || s.fh_out != out_h) {
+    s.fh = make_filter(h, out_h);
+    s.fh_in = h;
+    s.fh_out = out_h;
+  }
+  s.mid.resize(static_cast<size_t>(h) * out_w * ch);
+  resample_rows_u8(s.raw.data(), s.mid.data(), h, w, out_w, s.fw);
+  resample_cols_to_u8(s.mid.data(), out, h, out_h, out_w * ch, s.fh, s.acc);
   return 0;
 }
 
@@ -170,10 +206,11 @@ int decode_resize_batch(const char** paths, int64_t n, int out_h, int out_w,
   const size_t img_bytes = static_cast<size_t>(out_h) * out_w * 3;
 
   auto work = [&]() {
+    Scratch scratch;
     while (true) {
       const int64_t i = next.fetch_add(1);
       if (i >= n) break;
-      const int rc = decode_one(paths[i], out_h, out_w, out + i * img_bytes);
+      const int rc = decode_one(paths[i], out_h, out_w, out + i * img_bytes, scratch);
       statuses[i] = rc;
       if (rc != 0) failures.fetch_add(1);
     }

@@ -28,8 +28,8 @@ _unavailable = False
 def _build() -> None:
     subprocess.run(
         [
-            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-            "-o", str(_LIB), str(_SRC), "-ljpeg", "-lpthread",
+            "g++", "-O3", "-march=native", "-funroll-loops", "-std=c++17",
+            "-shared", "-fPIC", "-o", str(_LIB), str(_SRC), "-ljpeg", "-lpthread",
         ],
         check=True,
         capture_output=True,
