@@ -73,27 +73,80 @@ def _rank_chunk(
     return cmc_rows, ap, valid
 
 
-@functools.partial(jax.jit, static_argnames=("max_rank", "query_chunk"))
-def evaluate_rank_jax(
-    distmat: jnp.ndarray,
-    q_pids: jnp.ndarray,
-    g_pids: jnp.ndarray,
-    q_camids: jnp.ndarray,
-    g_camids: jnp.ndarray,
-    max_rank: int = 50,
-    query_chunk: int = 512,
+def _rank_chunk_counting(
+    dist_chunk: jnp.ndarray,   # (B, G) float
+    q_pids: jnp.ndarray,       # (B,) int32
+    q_camids: jnp.ndarray,     # (B,) int32
+    g_pids: jnp.ndarray,       # (G,) int32
+    g_camids: jnp.ndarray,     # (G,) int32
+    max_rank: int,
+    max_positives: int,
+    g_block: int = 8192,
 ):
-    """Market-protocol CMC curve + mAP, fully on device.
+    """Sort-free CMC/AP: the kept-rank of each positive is the COUNT of
+    kept gallery entries strictly closer than it — a masked compare-reduce
+    instead of a (B, G) argsort. Exactly the protocol for distinct
+    distances; on exact distance ties the positive ranks ahead of tied
+    negatives (the stable-argsort oracle breaks ties by gallery index).
+    ~40x faster than the sort formulation at DeepChange scale (BENCH.md).
 
-    Argument order mirrors ``torchreid.metrics.evaluate_rank(distmat, q_pids,
-    g_pids, q_camids, g_camids)`` as called at
-    ``Person-ReID/validateModels.py:68``. Queries whose every same-pid gallery
-    entry shares their camera are excluded from both averages (standard
-    protocol).
-
-    Chunked over queries with ``lax.map`` so peak HBM is
-    O(query_chunk * num_gallery) regardless of query-set size.
+    ``max_positives`` must bound the per-query positive count (the callers
+    derive it from the gallery pid histogram).
     """
+    B, G = dist_chunk.shape
+    same_pid = g_pids[None, :] == q_pids[:, None]
+    junk = same_pid & (g_camids[None, :] == q_camids[:, None])
+    pos = same_pid & ~junk
+    num_rel = pos.sum(axis=1)
+
+    # ascending positive distances, +inf padded (top_k of the negation)
+    pos_d = jnp.where(pos, dist_chunk, jnp.inf)
+    p = -jax.lax.top_k(-pos_d, max_positives)[0]  # (B, P)
+
+    pad = (-G) % g_block
+    d_p = jnp.pad(dist_chunk, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    keep_p = jnp.pad(~junk, ((0, 0), (0, pad)))
+    nb = d_p.shape[1] // g_block
+    d_b = d_p.reshape(B, nb, g_block).transpose(1, 0, 2)
+    k_b = keep_p.reshape(B, nb, g_block).transpose(1, 0, 2)
+
+    def body(carry, blk):
+        d_blk, v_blk = blk
+        c = jnp.sum(
+            (d_blk[:, :, None] < p[:, None, :]) & v_blk[:, :, None],
+            axis=1, dtype=jnp.int32,
+        )
+        return carry + c, None
+
+    counts, _ = jax.lax.scan(body, jnp.zeros((B, max_positives), jnp.int32), (d_b, k_b))
+
+    i = jnp.arange(max_positives)
+    slot = i[None, :] < num_rel[:, None]
+    # i-th positive (1-based) at kept-rank counts_i → precision i/(rank+1)
+    precision = (i[None, :] + 1.0) / (counts.astype(jnp.float32) + 1.0)
+    ap = jnp.where(slot, precision, 0.0).sum(axis=1) / jnp.maximum(num_rel, 1)
+    first = jnp.where(num_rel > 0, counts[:, 0], G)
+    cmc_rows = (first[:, None] <= jnp.arange(max_rank)[None, :]).astype(jnp.float32)
+    return cmc_rows, ap.astype(jnp.float32), num_rel > 0
+
+
+def max_positives_bound(g_pids) -> int:
+    """Static per-query positive-count bound: the largest gallery pid
+    multiplicity (junk filtering only shrinks it). Rounded up to 8 so
+    nearby gallery compositions share a compiled executable."""
+    gp = np.asarray(g_pids)
+    if gp.size == 0:
+        return 8
+    counts = np.unique(gp, return_counts=True)[1]
+    return int(min(gp.size, 8 * np.ceil(counts.max() / 8)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_rank", "query_chunk", "max_positives")
+)
+def _evaluate_rank_jax(
+    distmat, q_pids, g_pids, q_camids, g_camids, max_rank, query_chunk, max_positives
+):
     num_q = distmat.shape[0]
     q_pids = q_pids.astype(jnp.int32)
     q_camids = q_camids.astype(jnp.int32)
@@ -113,7 +166,7 @@ def evaluate_rank_jax(
 
     def body(args):
         d, qp, qc = args
-        return _rank_chunk(d, qp, qc, g_pids, g_camids, max_rank)
+        return _rank_chunk_counting(d, qp, qc, g_pids, g_camids, max_rank, max_positives)
 
     cmc_rows, ap, valid = jax.lax.map(body, (dist_chunks, qp_chunks, qc_chunks))
     cmc_rows = cmc_rows.reshape(-1, max_rank)
@@ -124,6 +177,38 @@ def evaluate_rank_jax(
     cmc = (cmc_rows * valid[:, None]).sum(axis=0) / num_valid
     mAP = (ap * valid).sum() / num_valid
     return cmc, mAP
+
+
+def evaluate_rank_jax(
+    distmat: jnp.ndarray,
+    q_pids: jnp.ndarray,
+    g_pids: jnp.ndarray,
+    q_camids: jnp.ndarray,
+    g_camids: jnp.ndarray,
+    max_rank: int = 50,
+    query_chunk: int = 512,
+    max_positives: int | None = None,
+):
+    """Market-protocol CMC curve + mAP, fully on device.
+
+    Argument order mirrors ``torchreid.metrics.evaluate_rank(distmat, q_pids,
+    g_pids, q_camids, g_camids)`` as called at
+    ``Person-ReID/validateModels.py:68``. Queries whose every same-pid gallery
+    entry shares their camera are excluded from both averages (standard
+    protocol).
+
+    Chunked over queries with ``lax.map`` so peak HBM is
+    O(query_chunk * num_gallery) regardless of query-set size; within a
+    chunk the ranking is the sort-free counting kernel
+    (:func:`_rank_chunk_counting`).
+    """
+    if max_positives is None:
+        max_positives = max_positives_bound(g_pids)
+    query_chunk = min(query_chunk, max(int(distmat.shape[0]), 1))
+    return _evaluate_rank_jax(
+        distmat, q_pids, g_pids, q_camids, g_camids,
+        max_rank, query_chunk, max_positives,
+    )
 
 
 def evaluate_rank_sharded(
@@ -164,9 +249,13 @@ def evaluate_rank_sharded(
     gp = np.asarray(g_pids, np.int32)
     gc = np.asarray(g_camids, np.int32)
 
+    max_positives = max_positives_bound(gp)
+
     def local(q_l, qp_l, qc_l, g_r, gp_r, gc_r):
         dist = 1.0 - jnp.dot(q_l, g_r.T, preferred_element_type=jnp.float32)
-        cmc_rows, ap, valid = _rank_chunk(dist, qp_l, qc_l, gp_r, gc_r, max_rank)
+        cmc_rows, ap, valid = _rank_chunk_counting(
+            dist, qp_l, qc_l, gp_r, gc_r, max_rank, max_positives
+        )
         valid_f = valid.astype(jnp.float32)
         cmc_sum = jnp.sum(cmc_rows * valid_f[:, None], axis=0)
         ap_sum = jnp.sum(ap * valid_f)

@@ -1,0 +1,150 @@
+"""DeepChange-scale ranking stress run on the real chip (VERDICT item 9).
+
+Exercises the full eval tail at the reference's largest protocol size —
+17,527 queries x 62,956 gallery (SURVEY.md §6 dataset scales) — with
+synthetic 2048-d embeddings:
+
+1. distance matrix (one MXU matmul, 17.5k x 63k f32 ≈ 4.4 GB);
+2. on-device Market-protocol CMC/mAP (`evaluate_rank_jax`, query-chunked);
+3. correctness spot-check of the result vs the numpy oracle on a subsample;
+4. HBM headroom from the compiled program's memory analysis.
+
+Usage: python tools/bench_deepchange_scale.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from daliid_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from daliid_tpu.metrics.ranking import (
+        cosine_distance_matrix,
+        evaluate_rank_jax,
+        evaluate_rank_numpy,
+    )
+
+    NQ, NG, D, IDS, CAMS = 17_527, 62_956, 2048, 521, 17
+    rng = np.random.default_rng(12)
+    dev = jax.devices()[0]
+
+    # identity-clustered embeddings with heavy noise so CMC/mAP land in a
+    # realistic (non-saturated) band
+    id_centers = rng.normal(size=(IDS, D)).astype(np.float32)
+
+    def make(n):
+        pids = rng.integers(0, IDS, n)
+        camids = rng.integers(0, CAMS, n)
+        fvs = id_centers[pids] + 12.0 * rng.normal(size=(n, D)).astype(np.float32)
+        return fvs.astype(np.float32), pids.astype(np.int32), camids.astype(np.int32)
+
+    q_fvs, q_pids, q_camids = make(NQ)
+    g_fvs, g_pids, g_camids = make(NG)
+
+    q = jax.device_put(q_fvs, dev)
+    g = jax.device_put(g_fvs, dev)
+    qp, qc = jax.device_put(q_pids, dev), jax.device_put(q_camids, dev)
+    gp, gc = jax.device_put(g_pids, dev), jax.device_put(g_camids, dev)
+
+    # This harness's async tunnel makes host-side block_until_ready timing
+    # unreliable for single dispatches; device-side op durations from an
+    # xprof trace are authoritative.
+    import collections
+    import glob
+    import gzip
+    import json as json_mod
+    import re
+
+    def device_ms_from_trace(tdir):
+        fpath = sorted(glob.glob(tdir + "/plugins/profile/*/*.trace.json.gz"))[-1]
+        data = json_mod.load(gzip.open(fpath))
+        pids = {e["pid"]: e["args"].get("name", "") for e in data["traceEvents"]
+                if e.get("ph") == "M" and e.get("name") == "process_name"}
+        dev_pids = {p for p, n in pids.items() if "TPU" in n}
+        tot = 0.0
+        for e in data["traceEvents"]:
+            if (e.get("ph") == "X" and e.get("pid") in dev_pids
+                    and not e["name"].startswith("jit_")
+                    and not re.fullmatch(r"\d+", e["name"])):
+                tot += e.get("dur", 0)
+        return tot / 1e3
+
+    dist_fn = jax.jit(cosine_distance_matrix)
+    distmat = dist_fn(q, g)
+    distmat.block_until_ready()
+    import tempfile
+
+    tdir = tempfile.mkdtemp(prefix="dc_trace_")
+    with jax.profiler.trace(tdir):
+        for _ in range(3):
+            distmat = dist_fn(q, g)
+        jax.block_until_ready(distmat)
+        time.sleep(0.5)
+    dist_s = device_ms_from_trace(tdir) / 3 / 1e3
+    print(f"distmat {NQ}x{NG} (f32, {NQ * NG * 4 / 2**30:.2f} GiB): {dist_s * 1e3:.0f} ms "
+          f"device time ({2 * NQ * NG * D / dist_s / 1e12:.0f} TF/s)")
+
+    rank_fn = jax.jit(
+        lambda d: evaluate_rank_jax(d, qp, gp, qc, gc, max_rank=50, query_chunk=512)
+    )
+    t0 = time.perf_counter()
+    cmc, mAP = rank_fn(distmat)
+    cmc_h, map_h = np.asarray(cmc), float(mAP)  # full fetch = real sync
+    compile_s = time.perf_counter() - t0
+    tdir = tempfile.mkdtemp(prefix="dc_trace_")
+    with jax.profiler.trace(tdir):
+        for _ in range(3):
+            cmc, mAP = rank_fn(distmat)
+        jax.block_until_ready((cmc, mAP))
+        time.sleep(0.5)
+    rank_s = device_ms_from_trace(tdir) / 3 / 1e3
+    print(f"on-device CMC/mAP over full {NQ}x{NG}: {rank_s * 1e3:.0f} ms device time "
+          f"(first call incl. compile {compile_s:.2f} s)")
+    print(f"R1={cmc_h[0]:.4f} R5={cmc_h[4]:.4f} mAP={map_h:.4f}")
+
+    # correctness spot-check on a query subsample vs the numpy oracle
+    sub = rng.choice(NQ, 256, replace=False)
+    cmc_np, map_np = evaluate_rank_numpy(
+        np.asarray(distmat)[sub], q_pids[sub], g_pids, q_camids[sub], g_camids, max_rank=50
+    )
+    cmc_dev, map_dev = evaluate_rank_jax(
+        jax.device_put(np.asarray(distmat)[sub], dev),
+        jax.device_put(q_pids[sub], dev), gp,
+        jax.device_put(q_camids[sub], dev), gc, max_rank=50,
+    )
+    np.testing.assert_allclose(np.asarray(cmc_dev), cmc_np, atol=1e-5)
+    np.testing.assert_allclose(float(map_dev), map_np, atol=1e-5)
+    print("subsample parity vs numpy oracle: OK")
+
+    # HBM headroom for the ranking program
+    lowered = jax.jit(
+        lambda d: evaluate_rank_jax(d, qp, gp, qc, gc, max_rank=50, query_chunk=512)
+    ).lower(distmat)
+    mem = lowered.compile().memory_analysis()
+    if mem is not None:
+        print(f"ranking program HBM: args {mem.argument_size_in_bytes / 2**30:.2f} GiB, "
+              f"temps {mem.temp_size_in_bytes / 2**30:.3f} GiB, "
+              f"output {mem.output_size_in_bytes / 2**20:.2f} MiB")
+
+    import json
+
+    print(json.dumps({
+        "distmat_s": dist_s, "rank_warm_s": rank_s,
+        "r1": float(cmc_h[0]), "map": map_h,
+    }))
+
+
+if __name__ == "__main__":
+    main()
