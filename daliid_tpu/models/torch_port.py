@@ -545,6 +545,126 @@ def resnet_ibn_reid_to_torch_keys(variables, stage_sizes=(3, 4, 6, 3)) -> Dict[s
     return _export(variables, _resnet_ibn_entries(fake_sd, stage_sizes))
 
 
+# ------------------------------------------------------------ Inception-V3
+
+
+# torchvision branch attribute → flax submodule name, per block family
+_INCEPTION_A = [
+    ("branch1x1", "b1"), ("branch5x5_1", "b5_1"), ("branch5x5_2", "b5_2"),
+    ("branch3x3dbl_1", "b3_1"), ("branch3x3dbl_2", "b3_2"), ("branch3x3dbl_3", "b3_3"),
+    ("branch_pool", "bp"),
+]
+_INCEPTION_6A = [
+    ("branch3x3", "b3"),
+    ("branch3x3dbl_1", "d3_1"), ("branch3x3dbl_2", "d3_2"), ("branch3x3dbl_3", "d3_3"),
+]
+_INCEPTION_C = [
+    ("branch1x1", "b1"),
+    ("branch7x7_1", "b7_1"), ("branch7x7_2", "b7_2"), ("branch7x7_3", "b7_3"),
+    ("branch7x7dbl_1", "d7_1"), ("branch7x7dbl_2", "d7_2"), ("branch7x7dbl_3", "d7_3"),
+    ("branch7x7dbl_4", "d7_4"), ("branch7x7dbl_5", "d7_5"),
+    ("branch_pool", "bp"),
+]
+_INCEPTION_7A = [
+    ("branch3x3_1", "b3_1"), ("branch3x3_2", "b3_2"),
+    ("branch7x7x3_1", "b7_1"), ("branch7x7x3_2", "b7_2"),
+    ("branch7x7x3_3", "b7_3"), ("branch7x7x3_4", "b7_4"),
+]
+_INCEPTION_E = [
+    ("branch1x1", "b1"),
+    ("branch3x3_1", "b3_1"), ("branch3x3_2a", "b3_2a"), ("branch3x3_2b", "b3_2b"),
+    ("branch3x3dbl_1", "d3_1"), ("branch3x3dbl_2", "d3_2"),
+    ("branch3x3dbl_3a", "d3_3a"), ("branch3x3dbl_3b", "d3_3b"),
+    ("branch_pool", "bp"),
+]
+_INCEPTION_BLOCKS = {
+    "Mixed_5b": _INCEPTION_A, "Mixed_5c": _INCEPTION_A, "Mixed_5d": _INCEPTION_A,
+    "Mixed_6a": _INCEPTION_6A,
+    "Mixed_6b": _INCEPTION_C, "Mixed_6c": _INCEPTION_C,
+    "Mixed_6d": _INCEPTION_C, "Mixed_6e": _INCEPTION_C,
+    "Mixed_7a": _INCEPTION_7A,
+    "Mixed_7b": _INCEPTION_E, "Mixed_7c": _INCEPTION_E,
+}
+
+
+def _inception_entries():
+    """The ``inceptionV3ReID`` wrapper scheme (``Encoders.py:686-763``):
+    torchvision Inception-V3 stem/Mixed attributes re-exposed verbatim
+    (``BasicConv2d`` = conv + bn), plus ``last_bn``."""
+    e = []
+    for stem_t, stem_f in (
+        ("Conv2d_1a_3x3", "Conv2d_1a"), ("Conv2d_2a_3x3", "Conv2d_2a"),
+        ("Conv2d_2b_3x3", "Conv2d_2b"), ("Conv2d_3b_1x1", "Conv2d_3b"),
+        ("Conv2d_4a_3x3", "Conv2d_4a"),
+    ):
+        e += [(f"{stem_t}.conv", (stem_f, "conv"), "conv"), (f"{stem_t}.bn", (stem_f, "bn"), "bn")]
+    for block, branches in _INCEPTION_BLOCKS.items():
+        for bt, bf in branches:
+            e += [
+                (f"{block}.{bt}.conv", (block, bf, "conv"), "conv"),
+                (f"{block}.{bt}.bn", (block, bf, "bn"), "bn"),
+            ]
+    e.append(("last_bn", ("last_bn",), "bn"))
+    return e
+
+
+def inception_v3_reid_from_torch(state_dict: Mapping[str, object]):
+    sd = strip_module_prefix(dict(state_dict))
+    return _materialize(sd, _inception_entries())
+
+
+def inception_v3_reid_to_torch_keys(variables) -> Dict[str, np.ndarray]:
+    return _export(variables, _inception_entries())
+
+
+# ---------------------------------------------------------- EfficientNet-B0
+
+
+def _efficientnet_entries():
+    """torchvision EfficientNet-B0 ``features`` numeric scheme under the
+    ``efficientnetB0ReID`` wrapper (``Encoders.py:831-864``):
+    Conv2dNormActivation = (0=conv, 1=bn); MBConv ``block`` packs
+    [expand?] → depthwise → SqueezeExcitation(fc1/fc2 1x1 convs) → project."""
+    from daliid_tpu.models.efficientnet import _B0_CONFIG
+
+    e = [("features.0.0", ("stem_conv",), "conv"), ("features.0.1", ("stem_bn",), "bn")]
+    for si, (expand, _ch, repeats, _stride, _kernel) in enumerate(_B0_CONFIG, start=1):
+        for r in range(repeats):
+            tb = f"features.{si}.{r}.block"
+            path = (f"stage{si - 1}_{r}",)
+            if expand == 1:
+                dw, se, proj = 0, 1, 2
+            else:
+                e += [
+                    (f"{tb}.0.0", path + ("expand_conv",), "conv"),
+                    (f"{tb}.0.1", path + ("expand_bn",), "bn"),
+                ]
+                dw, se, proj = 1, 2, 3
+            e += [
+                (f"{tb}.{dw}.0", path + ("dw_conv",), "conv"),
+                (f"{tb}.{dw}.1", path + ("dw_bn",), "bn"),
+                (f"{tb}.{se}.fc1", path + ("se", "reduce"), "dense_conv1x1"),
+                (f"{tb}.{se}.fc2", path + ("se", "expand"), "dense_conv1x1"),
+                (f"{tb}.{proj}.0", path + ("project_conv",), "conv"),
+                (f"{tb}.{proj}.1", path + ("project_bn",), "bn"),
+            ]
+    e += [
+        ("features.8.0", ("head_conv",), "conv"),
+        ("features.8.1", ("head_bn",), "bn"),
+        ("last_bn", ("last_bn",), "bn"),
+    ]
+    return e
+
+
+def efficientnet_b0_reid_from_torch(state_dict: Mapping[str, object]):
+    sd = strip_module_prefix(dict(state_dict))
+    return _materialize(sd, _efficientnet_entries())
+
+
+def efficientnet_b0_reid_to_torch_keys(variables) -> Dict[str, np.ndarray]:
+    return _export(variables, _efficientnet_entries())
+
+
 # ---------------------------------------------------------------- dispatch
 
 
@@ -579,6 +699,10 @@ def variables_from_torch(model_name: str, state_dict: Mapping[str, object], *, m
         return osnet_reid_from_torch(sd)
     if model_name == "densenet121":
         return densenet121_reid_from_torch(sd)
+    if model_name == "inceptionV3":
+        return inception_v3_reid_from_torch(sd)
+    if model_name == "efficientnetB0":
+        return efficientnet_b0_reid_from_torch(sd)
     raise KeyError(f"no torch converter for model {model_name!r}")
 
 

@@ -569,3 +569,255 @@ def test_variables_from_torch_dispatch(torch_mod, ref_vit):
     variables = tp.variables_from_torch("vit", m.state_dict(), module=bundle.module)
     out = bundle.module.apply(variables, jnp.zeros((1, 64, 32, 3)), train=False)
     assert out.shape == (1, 768)
+
+
+# ------------------------------------------------------------- InceptionV3
+
+
+def _build_torch_inception(torch_mod):
+    """Minimal torch mirror of torchvision Inception-V3 under the
+    inceptionV3ReID wrapper scheme (Encoders.py:686-763): stem/Mixed
+    attributes verbatim, BasicConv2d = conv + bn(eps=1e-3)."""
+    t = torch_mod
+    nn = t.nn
+
+    class BasicConv2d(nn.Module):
+        def __init__(self, cin, cout, k, stride=1, padding=0):
+            super().__init__()
+            self.conv = nn.Conv2d(cin, cout, k, stride=stride, padding=padding, bias=False)
+            self.bn = nn.BatchNorm2d(cout, eps=1e-3)
+
+        def forward(self, x):
+            return t.relu(self.bn(self.conv(x)))
+
+    class InceptionA(nn.Module):
+        def __init__(self, cin, pool_features):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 64, 1)
+            self.branch5x5_1 = BasicConv2d(cin, 48, 1)
+            self.branch5x5_2 = BasicConv2d(48, 64, 5, padding=2)
+            self.branch3x3dbl_1 = BasicConv2d(cin, 64, 1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, 3, padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, 3, padding=1)
+            self.branch_pool = BasicConv2d(cin, pool_features, 1)
+
+        def forward(self, x):
+            p = t.nn.functional.avg_pool2d(x, 3, stride=1, padding=1)
+            return t.cat([
+                self.branch1x1(x), self.branch5x5_2(self.branch5x5_1(x)),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                self.branch_pool(p)], 1)
+
+    class InceptionB(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch3x3 = BasicConv2d(cin, 384, 3, stride=2)
+            self.branch3x3dbl_1 = BasicConv2d(cin, 64, 1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, 3, padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, 3, stride=2)
+
+        def forward(self, x):
+            return t.cat([
+                self.branch3x3(x),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                t.nn.functional.max_pool2d(x, 3, stride=2)], 1)
+
+    class InceptionC(nn.Module):
+        def __init__(self, cin, c7):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 192, 1)
+            self.branch7x7_1 = BasicConv2d(cin, c7, 1)
+            self.branch7x7_2 = BasicConv2d(c7, c7, (1, 7), padding=(0, 3))
+            self.branch7x7_3 = BasicConv2d(c7, 192, (7, 1), padding=(3, 0))
+            self.branch7x7dbl_1 = BasicConv2d(cin, c7, 1)
+            self.branch7x7dbl_2 = BasicConv2d(c7, c7, (7, 1), padding=(3, 0))
+            self.branch7x7dbl_3 = BasicConv2d(c7, c7, (1, 7), padding=(0, 3))
+            self.branch7x7dbl_4 = BasicConv2d(c7, c7, (7, 1), padding=(3, 0))
+            self.branch7x7dbl_5 = BasicConv2d(c7, 192, (1, 7), padding=(0, 3))
+            self.branch_pool = BasicConv2d(cin, 192, 1)
+
+        def forward(self, x):
+            p = t.nn.functional.avg_pool2d(x, 3, stride=1, padding=1)
+            b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+            d7 = self.branch7x7dbl_5(self.branch7x7dbl_4(
+                self.branch7x7dbl_3(self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+            return t.cat([self.branch1x1(x), b7, d7, self.branch_pool(p)], 1)
+
+    class InceptionD(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch3x3_1 = BasicConv2d(cin, 192, 1)
+            self.branch3x3_2 = BasicConv2d(192, 320, 3, stride=2)
+            self.branch7x7x3_1 = BasicConv2d(cin, 192, 1)
+            self.branch7x7x3_2 = BasicConv2d(192, 192, (1, 7), padding=(0, 3))
+            self.branch7x7x3_3 = BasicConv2d(192, 192, (7, 1), padding=(3, 0))
+            self.branch7x7x3_4 = BasicConv2d(192, 192, 3, stride=2)
+
+        def forward(self, x):
+            return t.cat([
+                self.branch3x3_2(self.branch3x3_1(x)),
+                self.branch7x7x3_4(self.branch7x7x3_3(
+                    self.branch7x7x3_2(self.branch7x7x3_1(x)))),
+                t.nn.functional.max_pool2d(x, 3, stride=2)], 1)
+
+    class InceptionE(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 320, 1)
+            self.branch3x3_1 = BasicConv2d(cin, 384, 1)
+            self.branch3x3_2a = BasicConv2d(384, 384, (1, 3), padding=(0, 1))
+            self.branch3x3_2b = BasicConv2d(384, 384, (3, 1), padding=(1, 0))
+            self.branch3x3dbl_1 = BasicConv2d(cin, 448, 1)
+            self.branch3x3dbl_2 = BasicConv2d(448, 384, 3, padding=1)
+            self.branch3x3dbl_3a = BasicConv2d(384, 384, (1, 3), padding=(0, 1))
+            self.branch3x3dbl_3b = BasicConv2d(384, 384, (3, 1), padding=(1, 0))
+            self.branch_pool = BasicConv2d(cin, 192, 1)
+
+        def forward(self, x):
+            p = t.nn.functional.avg_pool2d(x, 3, stride=1, padding=1)
+            b3 = self.branch3x3_1(x)
+            d3 = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+            return t.cat([
+                self.branch1x1(x),
+                self.branch3x3_2a(b3), self.branch3x3_2b(b3),
+                self.branch3x3dbl_3a(d3), self.branch3x3dbl_3b(d3),
+                self.branch_pool(p)], 1)
+
+    class Wrapper(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.Conv2d_1a_3x3 = BasicConv2d(3, 32, 3, stride=2)
+            self.Conv2d_2a_3x3 = BasicConv2d(32, 32, 3)
+            self.Conv2d_2b_3x3 = BasicConv2d(32, 64, 3, padding=1)
+            self.Conv2d_3b_1x1 = BasicConv2d(64, 80, 1)
+            self.Conv2d_4a_3x3 = BasicConv2d(80, 192, 3)
+            self.Mixed_5b = InceptionA(192, 32)
+            self.Mixed_5c = InceptionA(256, 64)
+            self.Mixed_5d = InceptionA(288, 64)
+            self.Mixed_6a = InceptionB(288)
+            self.Mixed_6b = InceptionC(768, 128)
+            self.Mixed_6c = InceptionC(768, 160)
+            self.Mixed_6d = InceptionC(768, 160)
+            self.Mixed_6e = InceptionC(768, 192)
+            self.Mixed_7a = InceptionD(768)
+            self.Mixed_7b = InceptionE(1280)
+            self.Mixed_7c = InceptionE(2048)
+            self.last_bn = nn.BatchNorm1d(2048)
+
+        def forward(self, x):
+            x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+            x = t.nn.functional.max_pool2d(x, 3, stride=2)
+            x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+            x = t.nn.functional.max_pool2d(x, 3, stride=2)
+            for name in ("5b", "5c", "5d", "6a", "6b", "6c", "6d", "6e", "7a", "7b", "7c"):
+                x = getattr(self, f"Mixed_{name}")(x)
+            v = x.mean((2, 3)) + x.amax((2, 3))
+            return self.last_bn(v)
+
+    return Wrapper()
+
+
+def test_inception_numerical_parity_and_round_trip(torch_mod):
+    from daliid_tpu.models.inception import InceptionV3ReID
+
+    t = torch_mod
+    m = _randomize(t, _build_torch_inception(t)).eval()
+    x = t.randn(2, 3, 256, 128, generator=t.Generator().manual_seed(6))
+    with t.no_grad():
+        ref_out = m(x).numpy()
+
+    variables = tp.inception_v3_reid_from_torch(m.state_dict())
+    mine = InceptionV3ReID().apply(
+        variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False
+    )
+    np.testing.assert_allclose(np.asarray(mine), ref_out, rtol=2e-4, atol=3e-5)
+
+    _assert_roundtrip(tp.inception_v3_reid_to_torch_keys(variables), m.state_dict())
+
+
+# ------------------------------------------------------------ EfficientNet
+
+
+def _build_torch_efficientnet(torch_mod):
+    """Minimal torch mirror of torchvision EfficientNet-B0 under the
+    efficientnetB0ReID wrapper (Encoders.py:831-864): `features` numeric
+    Sequential scheme, MBConv.block packing, SqueezeExcitation fc1/fc2."""
+    t = torch_mod
+    nn = t.nn
+
+    def cna(cin, cout, k, stride=1, groups=1):
+        return nn.Sequential(
+            nn.Conv2d(cin, cout, k, stride=stride, padding=k // 2, groups=groups, bias=False),
+            nn.BatchNorm2d(cout, eps=1e-3),
+            nn.SiLU(inplace=True),
+        )
+
+    class SE(nn.Module):
+        def __init__(self, c, squeeze):
+            super().__init__()
+            self.fc1 = nn.Conv2d(c, squeeze, 1)
+            self.fc2 = nn.Conv2d(squeeze, c, 1)
+
+        def forward(self, x):
+            s = x.mean((2, 3), keepdim=True)
+            return x * t.sigmoid(self.fc2(t.nn.functional.silu(self.fc1(s))))
+
+    class MBConv(nn.Module):
+        def __init__(self, cin, cout, expand, k, stride):
+            super().__init__()
+            mid = cin * expand
+            layers = []
+            if expand != 1:
+                layers.append(cna(cin, mid, 1))
+            layers += [cna(mid, mid, k, stride=stride, groups=mid),
+                       SE(mid, max(1, cin // 4)),
+                       nn.Sequential(nn.Conv2d(mid, cout, 1, bias=False),
+                                     nn.BatchNorm2d(cout, eps=1e-3))]
+            self.block = nn.Sequential(*layers)
+            self.residual = stride == 1 and cin == cout
+
+        def forward(self, x):
+            y = self.block(x)
+            return x + y if self.residual else y
+
+    from daliid_tpu.models.efficientnet import _B0_CONFIG
+
+    class Wrapper(nn.Module):
+        def __init__(self):
+            super().__init__()
+            feats = [cna(3, 32, 3, stride=2)]
+            cin = 32
+            for expand, ch, repeats, stride, k in _B0_CONFIG:
+                stage = []
+                for r in range(repeats):
+                    stage.append(MBConv(cin, ch, expand, k, stride if r == 0 else 1))
+                    cin = ch
+                feats.append(nn.Sequential(*stage))
+            feats.append(cna(cin, 1280, 1))
+            self.features = nn.Sequential(*feats)
+            self.last_bn = nn.BatchNorm1d(1280)
+
+        def forward(self, x):
+            x = self.features(x)
+            v = x.mean((2, 3)) + x.amax((2, 3))
+            return self.last_bn(v)
+
+    return Wrapper()
+
+
+def test_efficientnet_numerical_parity_and_round_trip(torch_mod):
+    from daliid_tpu.models.efficientnet import EfficientNetB0ReID
+
+    t = torch_mod
+    m = _randomize(t, _build_torch_efficientnet(t)).eval()
+    x = t.randn(2, 3, 128, 64, generator=t.Generator().manual_seed(8))
+    with t.no_grad():
+        ref_out = m(x).numpy()
+
+    variables = tp.efficientnet_b0_reid_from_torch(m.state_dict())
+    mine = EfficientNetB0ReID().apply(
+        variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False
+    )
+    np.testing.assert_allclose(np.asarray(mine), ref_out, rtol=2e-4, atol=3e-5)
+
+    _assert_roundtrip(tp.efficientnet_b0_reid_to_torch_keys(variables), m.state_dict())
