@@ -135,6 +135,11 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
         turbulence_dir = os.path.join(_dr(cfg.data_root), "Synthetic", "turbulence")
 
     num_classes = cfg.num_classes if cfg.num_classes >= 0 else train_table.num_ids
+    if cfg.id_loss_type != "softmax" and num_classes == 0:
+        raise SystemExit(
+            f"--id_loss_type {cfg.id_loss_type} needs a classifier head: "
+            "pass --num_classes (-1 = one class per training identity)"
+        )
     online, momentum = build_model_pair(
         cfg.model_name, jax.random.key(cfg.seed), img_size=cfg.img_size, dtype=dtype,
         num_classes=num_classes, id_loss_type=cfg.id_loss_type,

@@ -11,7 +11,9 @@ remains the fallback (and the parity oracle — outputs agree to ~1/255).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import pathlib
+import platform
 import subprocess
 import threading
 
@@ -19,10 +21,25 @@ import numpy as np
 
 _CPP_DIR = pathlib.Path(__file__).parent / "cpp"
 _SRC = _CPP_DIR / "loader.cpp"
-_LIB = _CPP_DIR / "libloader.so"
 _lock = threading.Lock()
 _lib = None
 _unavailable = False
+
+
+def _host_tag() -> str:
+    """Cache key for the compiled library: -march=native bakes this host's
+    ISA into the binary, so a checkout carried to a different CPU must
+    rebuild rather than SIGILL mid-decode."""
+    try:
+        flags = next(
+            l for l in open("/proc/cpuinfo") if l.startswith(("flags", "Features"))
+        )
+    except (OSError, StopIteration):
+        flags = platform.processor() or ""
+    return hashlib.sha1((platform.machine() + flags).encode()).hexdigest()[:10]
+
+
+_LIB = _CPP_DIR / f"libloader-{_host_tag()}.so"
 
 
 def _build() -> None:

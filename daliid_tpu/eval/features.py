@@ -70,14 +70,33 @@ class FeatureExtractor:
         self._variables = jax.device_put(bundle.variables, self._replicated)
 
         module = bundle.module
+        # SIE-conditioned backbones (TransReID camera/view embeddings) take
+        # the per-image camera ids at eval too (forward(x, cam_label=...),
+        # vit_pytorch.py:375-404) — detect and thread them through
+        import inspect as _inspect
 
-        @functools.partial(jax.jit, out_shardings=self._batch_shard)
-        def forward(variables, images_u8):
-            x = normalize_images(images_u8, dtype=compute_dtype)
-            feats = module.apply(variables, x, train=False)
-            # models may return a tuple of heads (multipart / dual / multiview,
-            # getFeatures.py:110-241) — cast every leaf
-            return jax.tree.map(lambda f: f.astype(jnp.float32), feats)
+        self._takes_camera_ids = "camera_ids" in _inspect.signature(
+            type(module).__call__
+        ).parameters
+
+        if self._takes_camera_ids:
+
+            @functools.partial(jax.jit, out_shardings=self._batch_shard)
+            def forward(variables, images_u8, camera_ids):
+                x = normalize_images(images_u8, dtype=compute_dtype)
+                feats = module.apply(variables, x, camera_ids=camera_ids, train=False)
+                return jax.tree.map(lambda f: f.astype(jnp.float32), feats)
+
+        else:
+
+            @functools.partial(jax.jit, out_shardings=self._batch_shard)
+            def forward(variables, images_u8, camera_ids=None):
+                del camera_ids
+                x = normalize_images(images_u8, dtype=compute_dtype)
+                feats = module.apply(variables, x, train=False)
+                # models may return a tuple of heads (multipart / dual /
+                # multiview, getFeatures.py:110-241) — cast every leaf
+                return jax.tree.map(lambda f: f.astype(jnp.float32), feats)
 
         self._forward = forward
 
@@ -114,11 +133,16 @@ class FeatureExtractor:
         verbose: bool = False,
     ) -> np.ndarray:
         """Embed every image → (N, feature_dim) float32 numpy array."""
+        camids = None
         if isinstance(table_or_paths, ReidTable):
             paths = [str(p) for p in table_or_paths.paths]
             dataset = dataset or table_or_paths.name
+            if self._takes_camera_ids:
+                camids = np.asarray(table_or_paths.camids, np.int32)
         else:
             paths = [str(p) for p in table_or_paths]
+        if self._takes_camera_ids and camids is None:
+            camids = np.zeros(len(paths), np.int32)
         if turbulence_dir:
             paths = [turbulence_path(p, turbulence_dir, turb_strength, dataset) for p in paths]
 
@@ -156,9 +180,17 @@ class FeatureExtractor:
             if isinstance(item, BaseException):
                 thread.join()
                 raise item
-            _, imgs, valid = item
+            b, imgs, valid = item
             device_batch = jax.device_put(imgs, self._batch_shard)
-            feats = self._forward(self._variables, device_batch)
+            if self._takes_camera_ids:
+                cam_chunk = camids[b * bs : b * bs + valid]
+                cam_chunk = np.pad(cam_chunk, (0, bs - valid))
+                feats = self._forward(
+                    self._variables, device_batch,
+                    jax.device_put(cam_chunk, self._batch_shard),
+                )
+            else:
+                feats = self._forward(self._variables, device_batch)
             if isinstance(feats, tuple):
                 is_multi = True
                 outputs.append(tuple(np.asarray(f[:valid]) for f in feats))

@@ -9,11 +9,13 @@ sort the gallery by distance, drop entries sharing the query's (pid, camid)
 match characteristic and average precision.
 
 Here the whole protocol is a single vectorized XLA program over the
-``(num_queries, num_gallery)`` distance matrix — argsort + gather + masked
-cumulative sums — jit-compiled and chunked over queries so HBM usage stays
-bounded. A numpy reference (:func:`evaluate_rank_numpy`) and a C++ reference
-(:mod:`daliid_tpu.metrics.cpp_ref`) implement the identical protocol for
-parity testing.
+``(num_queries, num_gallery)`` distance matrix — sort-free: each positive's
+kept-rank is a masked compare-count over gallery blocks
+(:func:`_rank_chunk_counting`), jit-compiled and chunked over queries so
+HBM stays bounded (15.6x faster than an argsort formulation at DeepChange
+scale, BENCH.md). A numpy reference (:func:`evaluate_rank_numpy`) and a
+C++ reference (:mod:`daliid_tpu.metrics.cpp_ref`) implement the identical
+protocol for parity testing.
 """
 
 from __future__ import annotations
@@ -37,42 +39,6 @@ def cosine_distance_matrix(query_fvs: jnp.ndarray, gallery_fvs: jnp.ndarray) -> 
     return 1.0 - q @ g.T
 
 
-def _rank_chunk(
-    dist_chunk: jnp.ndarray,   # (B, G) float
-    q_pids: jnp.ndarray,       # (B,) int32
-    q_camids: jnp.ndarray,     # (B,) int32
-    g_pids: jnp.ndarray,       # (G,) int32
-    g_camids: jnp.ndarray,     # (G,) int32
-    max_rank: int,
-):
-    """Per-chunk CMC/AP: returns (cmc_rows (B, max_rank), ap (B,), valid (B,))."""
-    num_g = dist_chunk.shape[1]
-    order = jnp.argsort(dist_chunk, axis=1)
-    g_pid_sorted = jnp.take(g_pids, order)
-    g_cam_sorted = jnp.take(g_camids, order)
-
-    same_pid = g_pid_sorted == q_pids[:, None]
-    junk = same_pid & (g_cam_sorted == q_camids[:, None])
-    keep = ~junk
-    match = same_pid & keep
-
-    # Rank of each sorted gallery entry counting only kept entries (0-based).
-    kept_rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
-    hits = jnp.cumsum(match.astype(jnp.int32), axis=1)
-
-    num_rel = hits[:, -1]
-    valid = num_rel > 0
-
-    # AP = mean over relevant positions of precision@that kept-rank.
-    precision = hits.astype(jnp.float32) / (kept_rank.astype(jnp.float32) + 1.0)
-    ap = jnp.where(match, precision, 0.0).sum(axis=1) / jnp.maximum(num_rel, 1).astype(jnp.float32)
-
-    # CMC: does the first match land before kept-rank k?
-    first_match_rank = jnp.min(jnp.where(match, kept_rank, num_g), axis=1)
-    cmc_rows = (first_match_rank[:, None] <= jnp.arange(max_rank)[None, :]).astype(jnp.float32)
-    return cmc_rows, ap, valid
-
-
 def _rank_chunk_counting(
     dist_chunk: jnp.ndarray,   # (B, G) float
     q_pids: jnp.ndarray,       # (B,) int32
@@ -86,9 +52,11 @@ def _rank_chunk_counting(
     """Sort-free CMC/AP: the kept-rank of each positive is the COUNT of
     kept gallery entries strictly closer than it — a masked compare-reduce
     instead of a (B, G) argsort. Exactly the protocol for distinct
-    distances; on exact distance ties the positive ranks ahead of tied
-    negatives (the stable-argsort oracle breaks ties by gallery index).
-    ~40x faster than the sort formulation at DeepChange scale (BENCH.md).
+    distances; positives tied with EACH OTHER keep the stable ordering (the
+    equal-run prefix correction below); a positive tied with a negative
+    ranks ahead of it (the stable-argsort oracle breaks that tie by gallery
+    index). ~15x faster than the sort formulation at DeepChange scale
+    (BENCH.md).
 
     ``max_positives`` must bound the per-query positive count (the callers
     derive it from the gallery pid histogram).
@@ -120,7 +88,16 @@ def _rank_chunk_counting(
 
     counts, _ = jax.lax.scan(body, jnp.zeros((B, max_positives), jnp.int32), (d_b, k_b))
 
+    # Positives tied with EACH OTHER all get the same strict-less count;
+    # restore the stable ordering among them by adding each slot's position
+    # within its equal-distance run (P x P, tiny).
     i = jnp.arange(max_positives)
+    eq_prefix = jnp.sum(
+        (p[:, :, None] == p[:, None, :]) & (i[None, None, :] < i[None, :, None]),
+        axis=2, dtype=jnp.int32,
+    )
+    counts = counts + eq_prefix
+
     slot = i[None, :] < num_rel[:, None]
     # i-th positive (1-based) at kept-rank counts_i → precision i/(rank+1)
     precision = (i[None, :] + 1.0) / (counts.astype(jnp.float32) + 1.0)

@@ -275,8 +275,13 @@ def vit_reid_from_torch(state_dict: Mapping[str, object], *, depth: int = 12,
     entries = _vit_trunk_entries(prefix, depth, has_sie, local_feature=False)
     variables = _materialize(sd, entries)
 
-    # BN neck: build_transformer's `bottleneck` or the wrappers' `last_bn`.
-    neck = "bottleneck" if p + "bottleneck.weight" in sd else "last_bn"
+    # BN neck: build_transformer's `bottleneck` (stored UNPREFIXED next to
+    # the base.* trunk, make_models.py:183) or the wrappers' `last_bn`.
+    neck = (
+        "bottleneck"
+        if ("bottleneck.weight" in sd or p + "bottleneck.weight" in sd)
+        else "last_bn"
+    )
     if p + f"{neck}.weight" in sd or f"{neck}.weight" in sd:
         key = neck if f"{neck}.weight" in sd else p + neck
         variables["params"]["last_bn"] = _bn_params(sd, key)

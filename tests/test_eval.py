@@ -127,3 +127,37 @@ def test_magnitude_weights_and_roc(rng):
     labels, scores = roc_arrays(np.zeros((2, 3)), np.array([1, 2]), np.array([1, 2, 3]))
     assert labels.tolist() == [1, 0, 0, 0, 1, 0]
     assert np.allclose(scores, 1.0)
+
+
+def test_extractor_passes_camera_ids_to_sie_models(tmp_path):
+    """SIE-conditioned backbones must receive the per-image camera ids at
+    extraction (vit_pytorch.py:375-404 forward takes cam_label); regression:
+    the extractor dropped them, zeroing the SIE embedding for every image."""
+    import jax
+    from PIL import Image
+
+    from daliid_tpu.data.registry import ReidTable
+    from daliid_tpu.eval.features import FeatureExtractor
+    from daliid_tpu.models.factory import ModelBundle
+    from daliid_tpu.models.vit import ViTReID
+
+    img = (32, 16)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(np.full((*img, 3), 128, np.uint8)).save(p)
+
+    m = ViTReID(img_size=img, patch_size=8, patch_stride=8, embed_dim=32, depth=1,
+                num_heads=2, drop_path_rate=0.0, sie_cameras=3)
+    v = m.init({"params": jax.random.key(0)}, jnp.zeros((1, *img, 3)),
+               camera_ids=jnp.zeros(1, jnp.int32), train=False)
+    bundle = ModelBundle(module=m, variables=v, feature_dim=32, name="sievit")
+    ex = FeatureExtractor(bundle, img_size=img, batch_size=8)
+    assert ex._takes_camera_ids
+
+    # identical image under two different cameras → different SIE embeddings
+    table = ReidTable(
+        paths=np.asarray([str(p), str(p)]), pids=np.asarray([1, 1]),
+        camids=np.asarray([0, 2]), kinds=np.asarray(["person", "person"]),
+        name="Synthetic",
+    )
+    feats = ex.extract(table)
+    assert not np.allclose(feats[0], feats[1])

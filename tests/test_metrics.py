@@ -157,3 +157,23 @@ def test_cosine_distance_matrix_normalizes():
     # self-distance of a vector with itself is 0
     d_self = np.asarray(cosine_distance_matrix(q, q))
     assert np.allclose(np.diag(d_self), 0.0, atol=1e-5)
+
+
+def test_counting_ranker_tied_positives():
+    """Two positives at the same distance must NOT double-count each other's
+    rank (regression: strict-less counting gave both the same kept-rank,
+    inflating AP above 1)."""
+    import jax.numpy as jnp
+
+    from daliid_tpu.metrics.ranking import evaluate_rank_jax, evaluate_rank_numpy
+
+    distmat = np.asarray([[0.1, 0.1, 0.5]], np.float32)
+    q_pids, q_camids = np.asarray([7]), np.asarray([0])
+    g_pids, g_camids = np.asarray([7, 7, 3]), np.asarray([1, 2, 0])
+    cmc_np, map_np = evaluate_rank_numpy(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=3)
+    cmc, mAP = evaluate_rank_jax(
+        jnp.asarray(distmat), jnp.asarray(q_pids), jnp.asarray(g_pids),
+        jnp.asarray(q_camids), jnp.asarray(g_camids), max_rank=3,
+    )
+    assert float(mAP) == pytest.approx(map_np) == pytest.approx(1.0)
+    np.testing.assert_allclose(np.asarray(cmc), cmc_np)

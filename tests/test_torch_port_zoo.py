@@ -821,3 +821,28 @@ def test_efficientnet_numerical_parity_and_round_trip(torch_mod):
     np.testing.assert_allclose(np.asarray(mine), ref_out, rtol=2e-4, atol=3e-5)
 
     _assert_roundtrip(tp.efficientnet_b0_reid_to_torch_keys(variables), m.state_dict())
+
+
+def test_vit_build_transformer_wrapper_neck(torch_mod, ref_vit):
+    """build_transformer checkpoints store the trained BN neck UNPREFIXED
+    (`bottleneck.*`) next to the `base.*` trunk (make_models.py:183);
+    regression: the converter installed an identity neck instead."""
+    t = torch_mod
+    m = ref_vit.vit_base_patch16_224_TransReID(
+        img_size=(64, 32), stride_size=16, drop_path_rate=0.0, camera=0, view=0
+    )
+    _randomize(t, m)
+    sd = {f"base.{k}": v for k, v in m.state_dict().items()}
+    g = t.Generator().manual_seed(9)
+    sd["bottleneck.weight"] = t.rand(768, generator=g) + 0.5
+    sd["bottleneck.bias"] = t.randn(768, generator=g)
+    sd["bottleneck.running_mean"] = t.randn(768, generator=g)
+    sd["bottleneck.running_var"] = t.rand(768, generator=g) + 0.5
+
+    variables = tp.vit_reid_from_torch(sd)
+    np.testing.assert_allclose(
+        variables["params"]["last_bn"]["scale"], sd["bottleneck.weight"].numpy()
+    )
+    np.testing.assert_allclose(
+        variables["batch_stats"]["last_bn"]["var"], sd["bottleneck.running_var"].numpy()
+    )
