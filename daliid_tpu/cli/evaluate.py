@@ -46,11 +46,16 @@ def build_argparser() -> argparse.ArgumentParser:
         "--mrfuse", action="store_true",
         help="with --multiple_output: also report Weibull meta-recognition fusion (evaluate.py:610-627)",
     )
+    p.add_argument(
+        "--sie_cameras", type=int, default=0,
+        help="SIE camera-embedding table size for TransReID backbones "
+             "(cfg.MODEL.SIE_CAMERA equivalent; must match the checkpoint)",
+    )
     return p
 
 
-def load_bundle(model_name, model_path, img_size, dtype):
-    bundle = get_model(model_name, jax.random.key(12), img_size=img_size, dtype=dtype)
+def load_bundle(model_name, model_path, img_size, dtype, **model_kw):
+    bundle = get_model(model_name, jax.random.key(12), img_size=img_size, dtype=dtype, **model_kw)
     if model_path:
         if model_path.endswith(".npz"):
             bundle.variables = load_variables(model_path, bundle.variables)
@@ -72,7 +77,9 @@ def main(args):
     enable_compilation_cache()
     img_size = (args.img_height, args.img_width)
     dtype = getattr(jnp, args.compute_dtype)
-    bundle = load_bundle(args.model_name, args.model_path, img_size, dtype)
+    bundle = load_bundle(
+        args.model_name, args.model_path, img_size, dtype, sie_cameras=args.sie_cameras
+    )
     extractor = FeatureExtractor(bundle, img_size=img_size, batch_size=args.batch_size)
 
     results = {}

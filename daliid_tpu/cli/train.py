@@ -68,6 +68,11 @@ def build_argparser() -> argparse.ArgumentParser:
         choices=["softmax", "arcface", "cosface", "amsoftmax", "circle"],
         help="ID-loss head (make_models.py:260-277 equivalents)",
     )
+    p.add_argument(
+        "--sie_cameras", type=int, default=0,
+        help="SIE camera-embedding table for TransReID backbones; "
+             "-1 = one entry per training camera (cfg.MODEL.SIE_CAMERA)",
+    )
     # multi-host (DCN) bootstrap: run the SAME command on every host
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize before device use")
@@ -105,6 +110,7 @@ def config_from_args(args) -> TrainConfig:
         extractor_batch=args.extractor_batch,
         num_classes=args.num_classes,
         id_loss_type=args.id_loss_type,
+        sie_cameras=args.sie_cameras,
     )
 
 
@@ -140,9 +146,12 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
             f"--id_loss_type {cfg.id_loss_type} needs a classifier head: "
             "pass --num_classes (-1 = one class per training identity)"
         )
+    sie_cameras = (
+        cfg.sie_cameras if cfg.sie_cameras >= 0 else int(train_table.camids.max()) + 1
+    )
     online, momentum = build_model_pair(
         cfg.model_name, jax.random.key(cfg.seed), img_size=cfg.img_size, dtype=dtype,
-        num_classes=num_classes, id_loss_type=cfg.id_loss_type,
+        num_classes=num_classes, id_loss_type=cfg.id_loss_type, sie_cameras=sie_cameras,
     )
     if cfg.model_path:
         from daliid_tpu.train.checkpoint import load_variables
