@@ -78,7 +78,8 @@ def main(args):
     img_size = (args.img_height, args.img_width)
     dtype = getattr(jnp, args.compute_dtype)
     bundle = load_bundle(
-        args.model_name, args.model_path, img_size, dtype, sie_cameras=args.sie_cameras
+        args.model_name, args.model_path, img_size, dtype,
+        sie_cameras=getattr(args, "sie_cameras", 0),
     )
     extractor = FeatureExtractor(bundle, img_size=img_size, batch_size=args.batch_size)
 
