@@ -101,14 +101,20 @@ def weighted_center_loss(
 
     predicted = jnp.argmax(log_probs, axis=1)
     correct = (predicted == batch_labels) & sample_mask
-    # On-device balanced accuracy over the classes present in the batch.
+    # On-device balanced accuracy, exactly ``getACCBal`` (losses.py:190-203):
+    # per-class recall over ground-truth classes, divided by the size of the
+    # UNION of ground-truth and predicted label sets (predicted-only classes
+    # contribute zero recall but still count in the denominator).
     num_classes = centers.shape[0]
     per_class_correct = jax.ops.segment_sum(correct.astype(jnp.float32), batch_labels, num_classes)
     per_class_count = jax.ops.segment_sum(sample_mask.astype(jnp.float32), batch_labels, num_classes)
-    present = per_class_count > 0
+    present_gt = per_class_count > 0
+    present_pred = (
+        jax.ops.segment_sum(sample_mask.astype(jnp.float32), predicted, num_classes) > 0
+    )
     acc_bal = jnp.sum(
-        jnp.where(present, per_class_correct / jnp.maximum(per_class_count, 1.0), 0.0)
-    ) / jnp.maximum(jnp.sum(present), 1)
+        jnp.where(present_gt, per_class_correct / jnp.maximum(per_class_count, 1.0), 0.0)
+    ) / jnp.maximum(jnp.sum(present_gt | present_pred), 1)
     max_prob = jnp.exp(jnp.max(log_probs, axis=1))
     avg_max_prob = jnp.sum(max_prob * sample_mask) / jnp.maximum(jnp.sum(sample_mask), 1)
     return loss, {"predicted": predicted, "avg_max_prob": avg_max_prob, "batch_acc_bal": acc_bal}

@@ -126,8 +126,10 @@ def test_weighted_center_loss(ref, torch_mod, rng, epoch):
     )
     _close(loss, rl)
     _close(aux["avg_max_prob"], rprob)
-    # diagnostic parity via the host-side balanced accuracy (== getACCBal)
+    # diagnostic parity: both the host helper and the ON-DEVICE aux must
+    # reproduce getACCBal (union-of-label-sets denominator)
     _close(L.balanced_accuracy_host(np.asarray(aux["predicted"]), labels), racc, rtol=1e-6)
+    _close(aux["batch_acc_bal"], racc, rtol=1e-5)
 
 
 def test_weighted_center_loss_masked_padding(ref, torch_mod, rng):
