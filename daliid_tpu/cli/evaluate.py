@@ -23,6 +23,7 @@ from daliid_tpu.data.registry import load_dataset
 from daliid_tpu.eval.features import FeatureExtractor
 from daliid_tpu.eval.validate import get_validator
 from daliid_tpu.models import get_model
+from daliid_tpu.models.factory import SIE_MODELS
 from daliid_tpu.train.checkpoint import load_variables
 
 
@@ -77,6 +78,11 @@ def main(args):
     enable_compilation_cache()
     img_size = (args.img_height, args.img_width)
     dtype = getattr(jnp, args.compute_dtype)
+    if getattr(args, "sie_cameras", 0) and args.model_name not in SIE_MODELS:
+        raise SystemExit(
+            f"--sie_cameras only applies to {sorted(SIE_MODELS)}; "
+            f"{args.model_name} has no SIE embedding"
+        )
     bundle = load_bundle(
         args.model_name, args.model_path, img_size, dtype,
         sie_cameras=getattr(args, "sie_cameras", 0),
@@ -84,9 +90,24 @@ def main(args):
     extractor = FeatureExtractor(bundle, img_size=img_size, batch_size=args.batch_size)
 
     results = {}
+    sie_cameras = getattr(args, "sie_cameras", 0)
     for target in args.targets:
         splits = load_dataset(target, root=args.data_root)
         queries, gallery = splits["query"], splits["gallery"]
+        if sie_cameras:
+            # raw camids index the SIE table; an out-of-range id would
+            # silently clamp in XLA's gather (same check as cli/train.py)
+            cam_max = max(
+                int(t.camids.max()) if len(t.camids) else 0
+                for split in (queries, gallery)
+                for t in (split if isinstance(split, list) else [split])
+            )
+            if cam_max >= sie_cameras:
+                raise SystemExit(
+                    f"--sie_cameras {sie_cameras} is too small for {target}: "
+                    f"camids run up to {cam_max} and index the table directly "
+                    f"(1-based datasets need max+1 = {cam_max + 1})"
+                )
         validator = get_validator(target, img_size=img_size, batch_size=args.batch_size)
 
         # multi-split protocols (PRCC's 10 gallery splits, ImageNet-as-reid):

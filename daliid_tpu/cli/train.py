@@ -25,6 +25,7 @@ from daliid_tpu.config import TrainConfig
 from daliid_tpu.data.registry import load_dataset
 from daliid_tpu.eval.validate import get_validator, msmt17_balanced_accuracy
 from daliid_tpu.models import build_model_pair
+from daliid_tpu.models.factory import MARGIN_HEAD_MODELS, SIE_MODELS
 from daliid_tpu.train.checkpoint import CheckpointManager, save_variables
 from daliid_tpu.train.sampler import PKBatchSampler
 from daliid_tpu.train.trainer import Trainer
@@ -146,9 +147,34 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
             f"--id_loss_type {cfg.id_loss_type} needs a classifier head: "
             "pass --num_classes (-1 = one class per training identity)"
         )
+    if cfg.id_loss_type != "softmax" and cfg.model_name not in MARGIN_HEAD_MODELS:
+        # every other factory would swallow the kwarg and silently train a
+        # plain softmax head — fail loudly instead
+        raise SystemExit(
+            f"--id_loss_type {cfg.id_loss_type} is only supported by "
+            f"{sorted(MARGIN_HEAD_MODELS)} (make_models.py:262-289); "
+            f"{cfg.model_name} has no margin head"
+        )
+    if cfg.sie_cameras and cfg.model_name not in SIE_MODELS:
+        raise SystemExit(
+            f"--sie_cameras only applies to {sorted(SIE_MODELS)}; "
+            f"{cfg.model_name} has no SIE embedding"
+        )
     sie_cameras = (
         cfg.sie_cameras if cfg.sie_cameras >= 0 else int(train_table.camids.max()) + 1
     )
+    if sie_cameras:
+        # raw dataset camids index the SIE table directly (Market parses
+        # 1-based, registry.py); an out-of-range id would silently clamp in
+        # XLA's gather and alias two cameras onto one row — validate here
+        cam_max = int(train_table.camids.max())
+        if cam_max >= sie_cameras:
+            raise SystemExit(
+                f"--sie_cameras {sie_cameras} is too small: camids in "
+                f"{cfg.dataset} run up to {cam_max} and index the table "
+                f"directly (1-based datasets need max+1 = {cam_max + 1}; "
+                "pass --sie_cameras -1 to size it automatically)"
+            )
     online, momentum = build_model_pair(
         cfg.model_name, jax.random.key(cfg.seed), img_size=cfg.img_size, dtype=dtype,
         num_classes=num_classes, id_loss_type=cfg.id_loss_type, sie_cameras=sie_cameras,

@@ -14,8 +14,13 @@ kept-rank is a masked compare-count over gallery blocks
 (:func:`_rank_chunk_counting`), jit-compiled and chunked over queries so
 HBM stays bounded (15.6x faster than an argsort formulation at DeepChange
 scale, BENCH.md). A numpy reference (:func:`evaluate_rank_numpy`) and a
-C++ reference (:mod:`daliid_tpu.metrics.cpp_ref`) implement the identical
-protocol for parity testing.
+C++ reference (:mod:`daliid_tpu.metrics.cpp_ref`) implement the same
+protocol for parity testing, with one documented divergence on *exactly
+tied* distances: the counting kernel ranks a positive ahead of any
+equal-distance negative, while the references (like the Cython kernel's
+stable sort) break ties by gallery index — results are identical whenever
+distances are distinct (the continuous-embedding case; see
+:func:`_rank_chunk_counting`).
 """
 
 from __future__ import annotations

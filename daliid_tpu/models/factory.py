@@ -39,6 +39,12 @@ class ModelBundle:
 
 MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {}
 
+# Models whose factories actually consume these kwargs. Every factory takes
+# ``**kw``, so an unsupported flag would be swallowed silently — the CLIs
+# validate against these sets and fail loudly instead.
+MARGIN_HEAD_MODELS = frozenset({"transreid_jpm"})
+SIE_MODELS = frozenset({"transreid", "transreid_jpm"})
+
 
 def register_model(name: str):
     def deco(fn):

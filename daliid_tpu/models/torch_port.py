@@ -358,6 +358,17 @@ def transreid_jpm_from_torch(state_dict: Mapping[str, object], *, depth: int = 1
     has_sie = "base.sie_embed" in sd
     if num_classes == 0 and "classifier.weight" in sd:
         num_classes = _to_numpy(sd["classifier.weight"]).shape[0]
+    if num_classes and "classifier_1.weight" not in sd:
+        # margin-head checkpoint (arcface/cosface/amsoftmax/circle): the
+        # reference creates only the single margin ``classifier`` — no local
+        # classifier_1..4 (make_models.py:262-289). The flax module still
+        # carries the local heads (unused by the margin train path and
+        # discarded at eval), so fill them with the reference's classifier
+        # init (normal std 0.001, make_models.py:39-44) deterministically.
+        w = _to_numpy(sd["classifier.weight"])
+        rng = np.random.default_rng(12)
+        for i in range(1, 5):
+            sd[f"classifier_{i}.weight"] = rng.normal(0.0, 0.001, size=w.shape).astype(np.float32)
     variables = _materialize(sd, _jpm_entries(depth, has_sie, num_classes))
     if grid_hw is not None:
         pos = variables["params"]["base"]["pos_embed"]

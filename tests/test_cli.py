@@ -81,3 +81,36 @@ def test_fusion_cli(data_root):
     results = fus_cli.main(args)
     assert {"concat", "clean", "distortion", "average",
             "magnitude_gap", "magnitude_gmp", "magnitude_both"} <= set(results)
+
+
+def test_evaluate_cli_rejects_sie_for_non_sie_model(data_root):
+    """--sie_cameras on a backbone without SIE embeddings must fail loudly
+    instead of being swallowed by the factory's **kw (review fix)."""
+    with pytest.raises(SystemExit, match="sie_cameras"):
+        eval_cli.main(_eval_args(data_root, sie_cameras=2))
+
+
+def test_train_cli_flag_validation(data_root, tmp_path):
+    """Silently-ignored flags fail loudly: margin heads only exist on
+    transreid_jpm, and raw camids must fit the SIE table (XLA's gather
+    would clamp out-of-range ids onto the last row otherwise)."""
+    from daliid_tpu.cli import train as train_cli
+
+    def cfg(**over):
+        argv = ["--dataset", "Market", "--data_root", data_root,
+                "--img_height", "32", "--img_width", "16",
+                "--path_to_save_models", str(tmp_path / "ckpt"),
+                "--path_to_save_metrics", str(tmp_path / "metrics")]
+        for k, v in over.items():
+            argv += [f"--{k}", str(v)]
+        return train_cli.config_from_args(train_cli.build_argparser().parse_args(argv))
+
+    # margin head on a backbone without one
+    with pytest.raises(SystemExit, match="margin"):
+        train_cli.main(cfg(model_name="resnet50", id_loss_type="arcface", num_classes="-1"))
+    # SIE flag on a backbone without SIE embeddings
+    with pytest.raises(SystemExit, match="SIE"):
+        train_cli.main(cfg(model_name="resnet50", sie_cameras="4"))
+    # SIE table too small for the dataset's raw (1-based) camids
+    with pytest.raises(SystemExit, match="too small"):
+        train_cli.main(cfg(model_name="transreid", sie_cameras="1"))

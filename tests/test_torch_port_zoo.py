@@ -846,3 +846,29 @@ def test_vit_build_transformer_wrapper_neck(torch_mod, ref_vit):
     np.testing.assert_allclose(
         variables["batch_stats"]["last_bn"]["var"], sd["bottleneck.running_var"].numpy()
     )
+
+
+def test_jpm_margin_head_checkpoint_loads(ref_jpm):
+    """Margin-head JPM checkpoints carry only the single margin
+    ``classifier`` — no classifier_1..4 (make_models.py:262-289 creates the
+    locals only in the softmax branch). The converter fills the unused local
+    heads instead of crashing (review fix)."""
+    sd = {
+        k: v for k, v in ref_jpm.state_dict().items()
+        if not k.startswith(("classifier_1", "classifier_2", "classifier_3", "classifier_4"))
+    }
+    variables = tp.transreid_jpm_from_torch(sd)
+    p = variables["params"]
+    ref_kernel = np.asarray(ref_jpm.state_dict()["classifier.weight"].numpy()).T
+    np.testing.assert_allclose(np.asarray(p["classifier"]["kernel"]), ref_kernel)
+    for i in range(1, 5):
+        assert p[f"classifier_{i}"]["kernel"].shape == ref_kernel.shape
+
+    from daliid_tpu.models.transreid_jpm import TransReIDJPM
+
+    m = TransReIDJPM(
+        img_size=(64, 32), patch_size=16, patch_stride=16, drop_path_rate=0.0,
+        num_classes=7, id_loss_type="arcface", neck_feat="before",
+    )
+    out = m.apply(variables, jnp.zeros((2, 64, 32, 3)), train=False)
+    assert out.shape == (2, 5 * 768) and np.all(np.isfinite(np.asarray(out)))
