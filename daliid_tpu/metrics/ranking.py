@@ -13,14 +13,11 @@ Here the whole protocol is a single vectorized XLA program over the
 kept-rank is a masked compare-count over gallery blocks
 (:func:`_rank_chunk_counting`), jit-compiled and chunked over queries so
 HBM stays bounded (15.6x faster than an argsort formulation at DeepChange
-scale, BENCH.md). A numpy reference (:func:`evaluate_rank_numpy`) and a
-C++ reference (:mod:`daliid_tpu.metrics.cpp_ref`) implement the same
-protocol for parity testing, with one documented divergence on *exactly
-tied* distances: the counting kernel ranks a positive ahead of any
-equal-distance negative, while the references (like the Cython kernel's
-stable sort) break ties by gallery index — results are identical whenever
-distances are distinct (the continuous-embedding case; see
-:func:`_rank_chunk_counting`).
+scale, BENCH.md). Ties follow the protocol's stable order — equal distances
+rank by gallery index, exactly like the Cython kernel's stable sort — so a
+numpy reference (:func:`evaluate_rank_numpy`) and a C++ reference
+(:mod:`daliid_tpu.metrics.cpp_ref`) match bit-exactly even on tied
+distances (fuzzed in ``tests/test_metrics.py``).
 """
 
 from __future__ import annotations
@@ -55,13 +52,11 @@ def _rank_chunk_counting(
     g_block: int = 8192,
 ):
     """Sort-free CMC/AP: the kept-rank of each positive is the COUNT of
-    kept gallery entries strictly closer than it — a masked compare-reduce
-    instead of a (B, G) argsort. Exactly the protocol for distinct
-    distances; positives tied with EACH OTHER keep the stable ordering (the
-    equal-run prefix correction below); a positive tied with a negative
-    ranks ahead of it (the stable-argsort oracle breaks that tie by gallery
-    index). ~15x faster than the sort formulation at DeepChange scale
-    (BENCH.md).
+    kept gallery entries ranked before it under the protocol's stable order
+    (distance, then gallery index) — a masked compare-reduce instead of a
+    (B, G) argsort, bit-exact vs the stable-argsort references including on
+    tied distances. ~15x faster than the sort formulation at DeepChange
+    scale (BENCH.md).
 
     ``max_positives`` must bound the per-query positive count (the callers
     derive it from the gallery pid histogram).
@@ -72,9 +67,13 @@ def _rank_chunk_counting(
     pos = same_pid & ~junk
     num_rel = pos.sum(axis=1)
 
-    # ascending positive distances, +inf padded (top_k of the negation)
+    # ascending positive distances, +inf padded; lax.top_k is stable (equal
+    # values keep lower-index-first order), so gidx carries each positive's
+    # gallery index in exactly the oracle's tie order
     pos_d = jnp.where(pos, dist_chunk, jnp.inf)
-    p = -jax.lax.top_k(-pos_d, max_positives)[0]  # (B, P)
+    neg_vals, pidx = jax.lax.top_k(-pos_d, max_positives)
+    p = -neg_vals                   # (B, P) positive distances, ascending
+    gidx = pidx.astype(jnp.int32)   # (B, P) gallery index per positive
 
     pad = (-G) % g_block
     d_p = jnp.pad(dist_chunk, ((0, 0), (0, pad)), constant_values=jnp.inf)
@@ -82,26 +81,23 @@ def _rank_chunk_counting(
     nb = d_p.shape[1] // g_block
     d_b = d_p.reshape(B, nb, g_block).transpose(1, 0, 2)
     k_b = keep_p.reshape(B, nb, g_block).transpose(1, 0, 2)
+    idx_b = jnp.arange(d_p.shape[1], dtype=jnp.int32).reshape(nb, g_block)
 
     def body(carry, blk):
-        d_blk, v_blk = blk
-        c = jnp.sum(
-            (d_blk[:, :, None] < p[:, None, :]) & v_blk[:, :, None],
-            axis=1, dtype=jnp.int32,
+        d_blk, v_blk, i_blk = blk
+        # before-in-stable-order: strictly closer, or tied with a smaller
+        # gallery index (this also orders tied positives among themselves)
+        before = (d_blk[:, :, None] < p[:, None, :]) | (
+            (d_blk[:, :, None] == p[:, None, :])
+            & (i_blk[None, :, None] < gidx[:, None, :])
         )
+        c = jnp.sum(before & v_blk[:, :, None], axis=1, dtype=jnp.int32)
         return carry + c, None
 
-    counts, _ = jax.lax.scan(body, jnp.zeros((B, max_positives), jnp.int32), (d_b, k_b))
-
-    # Positives tied with EACH OTHER all get the same strict-less count;
-    # restore the stable ordering among them by adding each slot's position
-    # within its equal-distance run (P x P, tiny).
-    i = jnp.arange(max_positives)
-    eq_prefix = jnp.sum(
-        (p[:, :, None] == p[:, None, :]) & (i[None, None, :] < i[None, :, None]),
-        axis=2, dtype=jnp.int32,
+    counts, _ = jax.lax.scan(
+        body, jnp.zeros((B, max_positives), jnp.int32), (d_b, k_b, idx_b)
     )
-    counts = counts + eq_prefix
+    i = jnp.arange(max_positives)
 
     slot = i[None, :] < num_rel[:, None]
     # i-th positive (1-based) at kept-rank counts_i → precision i/(rank+1)

@@ -177,3 +177,29 @@ def test_counting_ranker_tied_positives():
     )
     assert float(mAP) == pytest.approx(map_np) == pytest.approx(1.0)
     np.testing.assert_allclose(np.asarray(cmc), cmc_np)
+
+
+def test_counting_ranker_tied_distances_fuzz(rng):
+    """Quantized distances produce many exact positive/negative ties; the
+    counting kernel must match the stable-argsort oracle bit-exactly (the
+    protocol breaks ties by gallery index — review fix)."""
+    import jax.numpy as jnp
+
+    from daliid_tpu.metrics.ranking import evaluate_rank_jax, evaluate_rank_numpy
+
+    for _ in range(10):
+        nq, ng = 13, 57
+        distmat = rng.integers(0, 6, size=(nq, ng)).astype(np.float32) / 8.0
+        q_pids = rng.integers(0, 5, nq)
+        g_pids = rng.integers(0, 5, ng)
+        q_camids = rng.integers(0, 3, nq)
+        g_camids = rng.integers(0, 3, ng)
+        cmc_np, map_np = evaluate_rank_numpy(
+            distmat, q_pids, g_pids, q_camids, g_camids, max_rank=10
+        )
+        cmc, mAP = evaluate_rank_jax(
+            jnp.asarray(distmat), jnp.asarray(q_pids), jnp.asarray(g_pids),
+            jnp.asarray(q_camids), jnp.asarray(g_camids), max_rank=10,
+        )
+        np.testing.assert_allclose(np.asarray(cmc), cmc_np, atol=1e-6)
+        assert float(mAP) == pytest.approx(map_np, abs=1e-6)
