@@ -25,6 +25,7 @@ from daliid_tpu.eval.validate import get_validator
 from daliid_tpu.models import get_model
 from daliid_tpu.models.factory import SIE_MODELS
 from daliid_tpu.train.checkpoint import load_variables
+from daliid_tpu.parallel.distributed import add_multihost_flags, maybe_initialize_from_args
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -52,6 +53,7 @@ def build_argparser() -> argparse.ArgumentParser:
         help="SIE camera-embedding table size for TransReID backbones "
              "(cfg.MODEL.SIE_CAMERA equivalent; must match the checkpoint)",
     )
+    add_multihost_flags(p)
     return p
 
 
@@ -170,4 +172,6 @@ def main(args):
 
 
 if __name__ == "__main__":
-    main(build_argparser().parse_args())
+    _args = build_argparser().parse_args()
+    maybe_initialize_from_args(_args)
+    main(_args)

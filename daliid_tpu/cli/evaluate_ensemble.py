@@ -19,6 +19,7 @@ from daliid_tpu.eval.features import FeatureExtractor
 from daliid_tpu.eval.fusion import average_distmats
 from daliid_tpu.eval.validate import get_validator
 from daliid_tpu.metrics.ranking import cosine_distance_matrix
+from daliid_tpu.parallel.distributed import add_multihost_flags, maybe_initialize_from_args
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -33,6 +34,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--img_width", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    add_multihost_flags(p)
     return p
 
 
@@ -70,4 +72,6 @@ def main(args):
 
 
 if __name__ == "__main__":
-    main(build_argparser().parse_args())
+    _args = build_argparser().parse_args()
+    maybe_initialize_from_args(_args)
+    main(_args)

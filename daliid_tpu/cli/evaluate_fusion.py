@@ -35,6 +35,7 @@ from daliid_tpu.eval.fusion import (
 )
 from daliid_tpu.eval.validate import Validator
 from daliid_tpu.metrics.ranking import cosine_distance_matrix
+from daliid_tpu.parallel.distributed import add_multihost_flags, maybe_initialize_from_args
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -49,6 +50,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--roc_version", type=str, default=None, help="dump FPR/TPR arrays with this tag")
+    add_multihost_flags(p)
     return p
 
 
@@ -134,4 +136,6 @@ def main(args):
 
 
 if __name__ == "__main__":
-    main(build_argparser().parse_args())
+    _args = build_argparser().parse_args()
+    maybe_initialize_from_args(_args)
+    main(_args)

@@ -25,6 +25,7 @@ from daliid_tpu.cli.evaluate import load_bundle
 from daliid_tpu.data.registry import load_dataset
 from daliid_tpu.eval.features import FeatureExtractor
 from daliid_tpu.eval.matcher import GalleryIndex
+from daliid_tpu.parallel.distributed import add_multihost_flags, maybe_initialize_from_args
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -41,6 +42,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save_index", type=str, default=None, help="save gallery embeddings to .npz")
     p.add_argument("--load_index", type=str, default=None, help="load gallery embeddings from .npz")
     p.add_argument("--max_probes", type=int, default=0, help="limit probes (0 = all)")
+    add_multihost_flags(p)
     return p
 
 
@@ -88,4 +90,6 @@ def main(args):
 
 
 if __name__ == "__main__":
-    main(build_argparser().parse_args())
+    _args = build_argparser().parse_args()
+    maybe_initialize_from_args(_args)
+    main(_args)

@@ -26,6 +26,7 @@ from daliid_tpu.data.registry import load_dataset
 from daliid_tpu.eval.validate import get_validator, msmt17_balanced_accuracy
 from daliid_tpu.models import build_model_pair
 from daliid_tpu.models.factory import MARGIN_HEAD_MODELS, SIE_MODELS
+from daliid_tpu.parallel.distributed import add_multihost_flags, maybe_initialize_from_args
 from daliid_tpu.train.checkpoint import CheckpointManager, save_variables
 from daliid_tpu.train.sampler import PKBatchSampler
 from daliid_tpu.train.trainer import Trainer
@@ -75,12 +76,7 @@ def build_argparser() -> argparse.ArgumentParser:
              "-1 = one entry per training camera (cfg.MODEL.SIE_CAMERA)",
     )
     # multi-host (DCN) bootstrap: run the SAME command on every host
-    p.add_argument("--multihost", action="store_true",
-                   help="call jax.distributed.initialize before device use")
-    p.add_argument("--coordinator_address", type=str, default=None,
-                   help="host:port of process 0 (omit under TPU pod runtimes)")
-    p.add_argument("--num_processes", type=int, default=None)
-    p.add_argument("--process_id", type=int, default=None)
+    add_multihost_flags(p)
     return p
 
 
@@ -286,15 +282,7 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
 
 if __name__ == "__main__":
     args = build_argparser().parse_args()
-    if args.multihost:
-        from daliid_tpu.parallel.distributed import initialize_multihost
-
-        info = initialize_multihost(
-            coordinator_address=args.coordinator_address,
-            num_processes=args.num_processes,
-            process_id=args.process_id,
-        )
-        print(f"multihost: {info}")
+    maybe_initialize_from_args(args)
     main(config_from_args(args), resume=args.resume, skip_initial_eval=args.skip_initial_eval,
          num_iter=args.num_iter,
          momentum_on_feature_extraction=bool(args.momentum_on_feature_extraction))

@@ -41,3 +41,27 @@ def initialize_multihost(
         "local_devices": len(jax.local_devices()),
         "global_devices": len(jax.devices()),
     }
+
+
+def add_multihost_flags(parser) -> None:
+    """Attach the shared multi-host bootstrap flags (run the SAME command on
+    every host); used by every CLI entry point."""
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize before device use")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 (omit under TPU pod runtimes)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+
+
+def maybe_initialize_from_args(args) -> dict | None:
+    """Bootstrap multi-host from parsed CLI flags; no-op unless --multihost."""
+    if not getattr(args, "multihost", False):
+        return None
+    info = initialize_multihost(
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    print(f"multihost: {info}")
+    return info
