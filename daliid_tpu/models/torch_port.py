@@ -722,6 +722,34 @@ def variables_from_torch(model_name: str, state_dict: Mapping[str, object], *, m
     raise KeyError(f"no torch converter for model {model_name!r}")
 
 
+def variables_to_torch(model_name: str, variables, *, module=None) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`variables_from_torch`: flax variables → reference
+    torch-format keys, so TPU-trained weights load into the reference's
+    wrappers (``Encoders.py``/``make_models.py``) via ``load_state_dict``."""
+    if model_name in ("resnet50", "resnet50_gap", "resnet50Seg", "dualresnet50",
+                      "multipart_resnet50", "multiview_resnet50"):
+        return resnet50_reid_to_torch_keys(variables)
+    if model_name == "resnet50IBN":
+        return resnet_ibn_reid_to_torch_keys(variables)
+    if model_name == "resnet101IBN":
+        return resnet_ibn_reid_to_torch_keys(variables, stage_sizes=(3, 4, 23, 3))
+    if model_name in ("vit", "vit_small", "transreid"):
+        kw = {"depth": module.depth} if module is not None else {}
+        return vit_reid_to_torch_keys(variables, **kw)
+    if model_name == "transreid_jpm":
+        kw = {"depth": module.depth} if module is not None else {}
+        return transreid_jpm_to_torch_keys(variables, **kw)
+    if model_name == "osnet":
+        return osnet_reid_to_torch_keys(variables)
+    if model_name == "densenet121":
+        return densenet121_reid_to_torch_keys(variables)
+    if model_name == "inceptionV3":
+        return inception_v3_reid_to_torch_keys(variables)
+    if model_name == "efficientnetB0":
+        return efficientnet_b0_reid_to_torch_keys(variables)
+    raise KeyError(f"no torch exporter for model {model_name!r}")
+
+
 def resnet50_reid_to_torch_keys(variables) -> Dict[str, np.ndarray]:
     """Inverse mapping (flax → torch-style keys), used for round-trip tests
     and for exporting TPU-trained weights back to the reference format."""

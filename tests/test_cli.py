@@ -114,3 +114,42 @@ def test_train_cli_flag_validation(data_root, tmp_path):
     # SIE table too small for the dataset's raw (1-based) camids
     with pytest.raises(SystemExit, match="too small"):
         train_cli.main(cfg(model_name="transreid", sie_cameras="1"))
+
+
+def test_export_cli_round_trip(tmp_path):
+    """torch ↔ npz conversion CLI: an npz exported to a torch pickle and
+    re-imported must round-trip every leaf bit-exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from daliid_tpu.cli import export as export_cli
+    from daliid_tpu.models import get_model
+    from daliid_tpu.train.checkpoint import load_variables, save_variables
+
+    bundle = get_model("resnet50", jax.random.key(3), img_size=(32, 16))
+    npz0 = str(tmp_path / "w0.npz")
+    pth = str(tmp_path / "w.pth")
+    npz1 = str(tmp_path / "w1.npz")
+    save_variables(npz0, bundle.variables)
+
+    def run(inp, out):
+        export_cli.main(export_cli.build_argparser().parse_args(
+            ["--model_name", "resnet50", "--input", inp, "--output", out,
+             "--img_height", "32", "--img_width", "16"]))
+
+    run(npz0, pth)
+    run(pth, npz1)
+    back = load_variables(npz1, bundle.variables)
+    flat0 = jax.tree_util.tree_leaves_with_path(bundle.variables)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert flat0 and len(flat0) == len(flat1)
+    for path, leaf in flat0:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat1[path]), err_msg=str(path))
+
+
+def test_export_cli_rejects_ambiguous_direction(tmp_path):
+    from daliid_tpu.cli import export as export_cli
+
+    with pytest.raises(SystemExit, match="torch pickle"):
+        export_cli.main(export_cli.build_argparser().parse_args(
+            ["--model_name", "resnet50", "--input", "a.npz", "--output", "b.npz"]))
