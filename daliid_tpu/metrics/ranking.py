@@ -43,37 +43,41 @@ def cosine_distance_matrix(query_fvs: jnp.ndarray, gallery_fvs: jnp.ndarray) -> 
 
 def _rank_chunk_counting(
     dist_chunk: jnp.ndarray,   # (B, G) float
+    q_cols: jnp.ndarray,       # (B, P) int32 same-pid gallery columns, -1 pad
     q_pids: jnp.ndarray,       # (B,) int32
     q_camids: jnp.ndarray,     # (B,) int32
     g_pids: jnp.ndarray,       # (G,) int32
     g_camids: jnp.ndarray,     # (G,) int32
     max_rank: int,
-    max_positives: int,
     g_block: int = 8192,
 ):
     """Sort-free CMC/AP: the kept-rank of each positive is the COUNT of
     kept gallery entries ranked before it under the protocol's stable order
     (distance, then gallery index) — a masked compare-reduce instead of a
     (B, G) argsort, bit-exact vs the stable-argsort references including on
-    tied distances. ~15x faster than the sort formulation at DeepChange
-    scale (BENCH.md).
+    tied distances.
 
-    ``max_positives`` must bound the per-query positive count (the callers
-    derive it from the gallery pid histogram).
+    The positives themselves come from ``q_cols`` — the host-precomputed
+    same-pid gallery columns per query (:func:`positive_columns`) — so
+    extraction is a (B, P) gather rather than an O(G·P) in-kernel ``top_k``
+    (which the xprof trace showed costing 2x the counting scan itself).
+    Ranks are unique within a query under the stable order, so CMC takes a
+    min over slots and AP ranks positives among themselves with a tiny
+    (P, P) compare — no sorted-slot assumption anywhere.
     """
     B, G = dist_chunk.shape
     same_pid = g_pids[None, :] == q_pids[:, None]
     junk = same_pid & (g_camids[None, :] == q_camids[:, None])
-    pos = same_pid & ~junk
-    num_rel = pos.sum(axis=1)
 
-    # ascending positive distances, +inf padded; lax.top_k is stable (equal
-    # values keep lower-index-first order), so gidx carries each positive's
-    # gallery index in exactly the oracle's tie order
-    pos_d = jnp.where(pos, dist_chunk, jnp.inf)
-    neg_vals, pidx = jax.lax.top_k(-pos_d, max_positives)
-    p = -neg_vals                   # (B, P) positive distances, ascending
-    gidx = pidx.astype(jnp.int32)   # (B, P) gallery index per positive
+    valid_col = q_cols >= 0
+    safe = jnp.where(valid_col, q_cols, 0)
+    d_cols = jnp.take_along_axis(dist_chunk, safe, axis=1)       # (B, P)
+    col_cam = g_camids[safe]                                     # (B, P)
+    # same-pid columns minus the query-camera ("junk") ones = positives
+    posmask = valid_col & (col_cam != q_camids[:, None])
+    num_rel = posmask.sum(axis=1)
+    p = jnp.where(posmask, d_cols, jnp.inf)
+    gidx = jnp.where(posmask, safe, jnp.iinfo(jnp.int32).max)
 
     pad = (-G) % g_block
     d_p = jnp.pad(dist_chunk, ((0, 0), (0, pad)), constant_values=jnp.inf)
@@ -95,15 +99,19 @@ def _rank_chunk_counting(
         return carry + c, None
 
     counts, _ = jax.lax.scan(
-        body, jnp.zeros((B, max_positives), jnp.int32), (d_b, k_b, idx_b)
+        body, jnp.zeros((B, q_cols.shape[1]), jnp.int32), (d_b, k_b, idx_b)
     )
-    i = jnp.arange(max_positives)
 
-    slot = i[None, :] < num_rel[:, None]
-    # i-th positive (1-based) at kept-rank counts_i → precision i/(rank+1)
-    precision = (i[None, :] + 1.0) / (counts.astype(jnp.float32) + 1.0)
-    ap = jnp.where(slot, precision, 0.0).sum(axis=1) / jnp.maximum(num_rel, 1)
-    first = jnp.where(num_rel > 0, counts[:, 0], G)
+    big = jnp.int32(G + 1)
+    c_valid = jnp.where(posmask, counts, big)
+    first = jnp.where(num_rel > 0, jnp.min(c_valid, axis=1), G)
+    # each positive's 0-based position among the query's positives (ranks
+    # are unique within a row, so a strict compare-count is the position)
+    pos_rank = jnp.sum(
+        c_valid[:, None, :] < c_valid[:, :, None], axis=2, dtype=jnp.int32
+    )
+    precision = (pos_rank.astype(jnp.float32) + 1.0) / (counts.astype(jnp.float32) + 1.0)
+    ap = jnp.where(posmask, precision, 0.0).sum(axis=1) / jnp.maximum(num_rel, 1)
     cmc_rows = (first[:, None] <= jnp.arange(max_rank)[None, :]).astype(jnp.float32)
     return cmc_rows, ap.astype(jnp.float32), num_rel > 0
 
@@ -119,11 +127,30 @@ def max_positives_bound(g_pids) -> int:
     return int(min(gp.size, 8 * np.ceil(counts.max() / 8)))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("max_rank", "query_chunk", "max_positives")
-)
+def positive_columns(q_pids, g_pids, max_positives: int) -> np.ndarray:
+    """(num_q, max_positives) int32 table of each query's same-pid gallery
+    column indices (ascending), -1 padded; all -1 for queries whose pid is
+    absent from the gallery. Host-side precompute that replaces the ranking
+    kernel's in-kernel positive extraction — O(G log G) once instead of an
+    O(G·P) ``top_k`` per query chunk."""
+    qp = np.asarray(q_pids)
+    gp = np.asarray(g_pids)
+    if gp.size == 0 or qp.size == 0:
+        return np.full((qp.shape[0], max_positives), -1, np.int32)
+    order = np.argsort(gp, kind="stable")
+    uniq, starts, counts = np.unique(gp[order], return_index=True, return_counts=True)
+    pid_table = np.full((uniq.shape[0], max_positives), -1, np.int32)
+    rows = np.repeat(np.arange(uniq.shape[0]), counts)
+    slots = np.arange(gp.size) - np.repeat(starts, counts)
+    pid_table[rows, slots] = order
+    q_row = np.clip(np.searchsorted(uniq, qp), 0, uniq.shape[0] - 1)
+    has = uniq[q_row] == qp
+    return np.where(has[:, None], pid_table[q_row], -1).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("max_rank", "query_chunk"))
 def _evaluate_rank_jax(
-    distmat, q_pids, g_pids, q_camids, g_camids, max_rank, query_chunk, max_positives
+    distmat, q_cols, q_pids, g_pids, q_camids, g_camids, max_rank, query_chunk
 ):
     num_q = distmat.shape[0]
     q_pids = q_pids.astype(jnp.int32)
@@ -133,20 +160,22 @@ def _evaluate_rank_jax(
 
     pad = (-num_q) % query_chunk
     distmat_p = jnp.pad(distmat, ((0, pad), (0, 0)))
-    # Padded queries get pid -1 → zero matches → valid=False → excluded.
+    # Padded queries get pid -1 / all -1 columns → zero matches → excluded.
+    q_cols_p = jnp.pad(q_cols, ((0, pad), (0, 0)), constant_values=-1)
     q_pids_p = jnp.pad(q_pids, (0, pad), constant_values=-1)
     q_camids_p = jnp.pad(q_camids, (0, pad), constant_values=-1)
 
     n_chunks = distmat_p.shape[0] // query_chunk
     dist_chunks = distmat_p.reshape(n_chunks, query_chunk, -1)
+    qcol_chunks = q_cols_p.reshape(n_chunks, query_chunk, -1)
     qp_chunks = q_pids_p.reshape(n_chunks, query_chunk)
     qc_chunks = q_camids_p.reshape(n_chunks, query_chunk)
 
     def body(args):
-        d, qp, qc = args
-        return _rank_chunk_counting(d, qp, qc, g_pids, g_camids, max_rank, max_positives)
+        d, cols, qp, qc = args
+        return _rank_chunk_counting(d, cols, qp, qc, g_pids, g_camids, max_rank)
 
-    cmc_rows, ap, valid = jax.lax.map(body, (dist_chunks, qp_chunks, qc_chunks))
+    cmc_rows, ap, valid = jax.lax.map(body, (dist_chunks, qcol_chunks, qp_chunks, qc_chunks))
     cmc_rows = cmc_rows.reshape(-1, max_rank)
     ap = ap.reshape(-1)
     valid = valid.reshape(-1)
@@ -183,9 +212,10 @@ def evaluate_rank_jax(
     if max_positives is None:
         max_positives = max_positives_bound(g_pids)
     query_chunk = min(query_chunk, max(int(distmat.shape[0]), 1))
+    q_cols = positive_columns(np.asarray(q_pids), np.asarray(g_pids), max_positives)
     return _evaluate_rank_jax(
-        distmat, q_pids, g_pids, q_camids, g_camids,
-        max_rank, query_chunk, max_positives,
+        distmat, jnp.asarray(q_cols), q_pids, g_pids, q_camids, g_camids,
+        max_rank, query_chunk,
     )
 
 
@@ -228,11 +258,15 @@ def evaluate_rank_sharded(
     gc = np.asarray(g_camids, np.int32)
 
     max_positives = max_positives_bound(gp)
+    qcols = np.pad(
+        positive_columns(np.asarray(q_pids), gp, max_positives),
+        ((0, pad), (0, 0)), constant_values=-1,
+    )
 
-    def local(q_l, qp_l, qc_l, g_r, gp_r, gc_r):
+    def local(q_l, qcols_l, qp_l, qc_l, g_r, gp_r, gc_r):
         dist = 1.0 - jnp.dot(q_l, g_r.T, preferred_element_type=jnp.float32)
         cmc_rows, ap, valid = _rank_chunk_counting(
-            dist, qp_l, qc_l, gp_r, gc_r, max_rank, max_positives
+            dist, qcols_l, qp_l, qc_l, gp_r, gc_r, max_rank
         )
         valid_f = valid.astype(jnp.float32)
         cmc_sum = jnp.sum(cmc_rows * valid_f[:, None], axis=0)
@@ -247,13 +281,13 @@ def evaluate_rank_sharded(
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P("data", None), P("data"), P("data"), P(), P(), P()),
+            in_specs=(P("data", None), P("data", None), P("data"), P("data"), P(), P(), P()),
             out_specs=(P(), P(), P()),
             check_vma=False,
         )
     )
     cmc_sum, ap_sum, n_valid = fn(
-        jnp.asarray(q), jnp.asarray(qp), jnp.asarray(qc),
+        jnp.asarray(q), jnp.asarray(qcols), jnp.asarray(qp), jnp.asarray(qc),
         jnp.asarray(g), jnp.asarray(gp), jnp.asarray(gc),
     )
     denom = max(float(n_valid), 1.0)
