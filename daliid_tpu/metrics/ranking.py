@@ -148,9 +148,10 @@ def positive_columns(q_pids, g_pids, max_positives: int) -> np.ndarray:
     return np.where(has[:, None], pid_table[q_row], -1).astype(np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("max_rank", "query_chunk"))
+@functools.partial(jax.jit, static_argnames=("max_rank", "query_chunk", "g_block"))
 def _evaluate_rank_jax(
-    distmat, q_cols, q_pids, g_pids, q_camids, g_camids, max_rank, query_chunk
+    distmat, q_cols, q_pids, g_pids, q_camids, g_camids, max_rank, query_chunk,
+    g_block=8192,
 ):
     num_q = distmat.shape[0]
     q_pids = q_pids.astype(jnp.int32)
@@ -173,7 +174,9 @@ def _evaluate_rank_jax(
 
     def body(args):
         d, cols, qp, qc = args
-        return _rank_chunk_counting(d, cols, qp, qc, g_pids, g_camids, max_rank)
+        return _rank_chunk_counting(
+            d, cols, qp, qc, g_pids, g_camids, max_rank, g_block=g_block
+        )
 
     cmc_rows, ap, valid = jax.lax.map(body, (dist_chunks, qcol_chunks, qp_chunks, qc_chunks))
     cmc_rows = cmc_rows.reshape(-1, max_rank)
@@ -195,6 +198,7 @@ def evaluate_rank_jax(
     max_rank: int = 50,
     query_chunk: int = 512,
     max_positives: int | None = None,
+    g_block: int = 8192,
 ):
     """Market-protocol CMC curve + mAP, fully on device.
 
@@ -215,7 +219,7 @@ def evaluate_rank_jax(
     q_cols = positive_columns(np.asarray(q_pids), np.asarray(g_pids), max_positives)
     return _evaluate_rank_jax(
         distmat, jnp.asarray(q_cols), q_pids, g_pids, q_camids, g_camids,
-        max_rank, query_chunk,
+        max_rank, query_chunk, g_block=g_block,
     )
 
 
