@@ -25,20 +25,61 @@ from daliid_tpu.parallel.mesh import make_mesh
 
 
 class GalleryIndex:
-    """Device-resident searchable gallery."""
+    """Device-resident searchable gallery with incremental enrollment.
+
+    ``add``/``remove`` support live gallery churn (enroll/retire
+    identities); ``save``/``load`` persist the index to one npz. A host
+    copy of the normalized matrix backs the updates; the device copy is
+    re-sharded on each commit (jit recompiles only when the padded shape
+    grows past the previous power-of-two-ish padding)."""
 
     def __init__(self, gallery_fvs: np.ndarray, gallery_pids=None, mesh=None):
         self.mesh = mesh if mesh is not None else make_mesh()
-        n_dev = self.mesh.devices.size
         g = np.asarray(gallery_fvs, np.float32)
         g = g / (np.linalg.norm(g, axis=1, keepdims=True) + 1e-12)
-        self.num_gallery = g.shape[0]
-        pad = (-g.shape[0]) % n_dev
-        if pad:
-            g = np.concatenate([g, np.zeros((pad, g.shape[1]), np.float32)])
-        self._gallery = jax.device_put(g, NamedSharding(self.mesh, P("data", None)))
         self.gallery_pids = None if gallery_pids is None else np.asarray(gallery_pids)
+        self._commit(g)
+
+    def _commit(self, g_norm: np.ndarray) -> None:
+        n_dev = self.mesh.devices.size
+        self._host_gallery = g_norm
+        self.num_gallery = g_norm.shape[0]
+        pad = (-g_norm.shape[0]) % n_dev
+        g = (
+            np.concatenate([g_norm, np.zeros((pad, g_norm.shape[1]), np.float32)])
+            if pad else g_norm
+        )
+        self._gallery = jax.device_put(g, NamedSharding(self.mesh, P("data", None)))
         self._search = self._build_search()
+
+    def add(self, fvs: np.ndarray, pids=None) -> None:
+        """Enroll additional gallery rows (raw embeddings; normalized here)."""
+        f = np.asarray(fvs, np.float32)
+        f = f / (np.linalg.norm(f, axis=1, keepdims=True) + 1e-12)
+        if (self.gallery_pids is None) != (pids is None):
+            raise ValueError("pids must be provided iff the index tracks pids")
+        if pids is not None:
+            self.gallery_pids = np.concatenate([self.gallery_pids, np.asarray(pids)])
+        self._commit(np.concatenate([self._host_gallery, f]))
+
+    def remove(self, indices) -> None:
+        """Retire gallery rows by index (as returned by ``search``)."""
+        keep = np.ones(self.num_gallery, bool)
+        keep[np.asarray(indices)] = False
+        if self.gallery_pids is not None:
+            self.gallery_pids = self.gallery_pids[keep]
+        self._commit(self._host_gallery[keep])
+
+    def save(self, path: str) -> None:
+        payload = {"gallery": self._host_gallery}
+        if self.gallery_pids is not None:
+            payload["pids"] = self.gallery_pids
+        np.savez(path, **payload)
+
+    @classmethod
+    def load(cls, path: str, mesh=None) -> "GalleryIndex":
+        with np.load(path) as z:
+            return cls(z["gallery"], z.get("pids"), mesh=mesh)
 
     def _build_search(self):
         mesh = self.mesh

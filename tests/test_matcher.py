@@ -43,3 +43,39 @@ def test_k_clamped_to_gallery(rng):
     idx = GalleryIndex(gallery)
     vals, ids = idx.search(gallery[:2], k=100)
     assert vals.shape == (2, 4)
+
+
+def test_gallery_index_add_remove_save_load(tmp_path, rng):
+    """Incremental enrollment: add/remove keep search results consistent with
+    a fresh index over the same rows; save/load round-trips."""
+    d = 32
+    g0 = rng.normal(size=(10, d)).astype(np.float32)
+    g1 = rng.normal(size=(6, d)).astype(np.float32)
+    pids0 = np.arange(10)
+    pids1 = np.arange(100, 106)
+    probes = rng.normal(size=(3, d)).astype(np.float32)
+
+    idx = GalleryIndex(g0, pids0)
+    idx.add(g1, pids1)
+    assert idx.num_gallery == 16
+    fresh = GalleryIndex(np.concatenate([g0, g1]), np.concatenate([pids0, pids1]))
+    v1, i1, p1 = idx.search(probes, k=5)
+    v2, i2, p2 = fresh.search(probes, k=5)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(p1, p2)
+
+    idx.remove(np.arange(10))  # retire the original rows
+    assert idx.num_gallery == 6
+    only1 = GalleryIndex(g1, pids1)
+    v3, i3, p3 = idx.search(probes, k=4)
+    v4, i4, p4 = only1.search(probes, k=4)
+    np.testing.assert_allclose(v3, v4, rtol=1e-6)
+    np.testing.assert_array_equal(p3, p4)
+
+    path = str(tmp_path / "index.npz")
+    idx.save(path)
+    back = GalleryIndex.load(path)
+    v5, i5, p5 = back.search(probes, k=4)
+    np.testing.assert_allclose(v5, v3, rtol=1e-6)
+    np.testing.assert_array_equal(p5, p3)
