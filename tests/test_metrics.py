@@ -203,3 +203,40 @@ def test_counting_ranker_tied_distances_fuzz(rng):
         )
         np.testing.assert_allclose(np.asarray(cmc), cmc_np, atol=1e-6)
         assert float(mAP) == pytest.approx(map_np, abs=1e-6)
+
+
+def test_positive_columns_edges():
+    """Column-table precompute: absent-pid queries get all -1 (excluded from
+    the averages downstream); multiplicity fits the bound; columns ascend."""
+    from daliid_tpu.metrics.ranking import max_positives_bound, positive_columns
+
+    g_pids = np.asarray([3, 7, 3, 3, 9])
+    q_pids = np.asarray([3, 9, 5])
+    P = max_positives_bound(g_pids)
+    cols = positive_columns(q_pids, g_pids, P)
+    assert cols.shape == (3, P)
+    assert cols[0, :3].tolist() == [0, 2, 3] and np.all(cols[0, 3:] == -1)
+    assert cols[1, 0] == 4 and np.all(cols[1, 1:] == -1)
+    assert np.all(cols[2] == -1)  # pid 5 absent from the gallery
+    # empty gallery
+    empty = positive_columns(q_pids, np.asarray([], np.int64), 8)
+    assert empty.shape == (3, 8) and np.all(empty == -1)
+
+
+def test_rank_query_pid_absent_from_gallery():
+    """A query whose pid never appears in the gallery is excluded from CMC
+    and mAP (valid=False), matching the oracle."""
+    import jax.numpy as jnp
+
+    from daliid_tpu.metrics.ranking import evaluate_rank_jax, evaluate_rank_numpy
+
+    distmat = np.asarray([[0.2, 0.4], [0.1, 0.3]], np.float32)
+    q_pids, q_camids = np.asarray([1, 5]), np.asarray([0, 0])
+    g_pids, g_camids = np.asarray([1, 2]), np.asarray([1, 1])
+    cmc_np, map_np = evaluate_rank_numpy(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=2)
+    cmc, mAP = evaluate_rank_jax(
+        jnp.asarray(distmat), jnp.asarray(q_pids), jnp.asarray(g_pids),
+        jnp.asarray(q_camids), jnp.asarray(g_camids), max_rank=2,
+    )
+    np.testing.assert_allclose(np.asarray(cmc), cmc_np)
+    assert float(mAP) == pytest.approx(map_np) == pytest.approx(1.0)
