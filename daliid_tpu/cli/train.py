@@ -71,6 +71,14 @@ def build_argparser() -> argparse.ArgumentParser:
         help="ID-loss head (make_models.py:260-277 equivalents)",
     )
     p.add_argument(
+        "--cosine_scale", type=float, default=None,
+        help="margin-head scale s (cfg.SOLVER.COSINE_SCALE; default per head)",
+    )
+    p.add_argument(
+        "--cosine_margin", type=float, default=None,
+        help="margin-head margin m (cfg.SOLVER.COSINE_MARGIN; default per head)",
+    )
+    p.add_argument(
         "--sie_cameras", type=int, default=0,
         help="SIE camera-embedding table for TransReID backbones; "
              "-1 = one entry per training camera (cfg.MODEL.SIE_CAMERA)",
@@ -107,6 +115,8 @@ def config_from_args(args) -> TrainConfig:
         extractor_batch=args.extractor_batch,
         num_classes=args.num_classes,
         id_loss_type=args.id_loss_type,
+        margin_s=args.cosine_scale,
+        margin_m=args.cosine_margin,
         sie_cameras=args.sie_cameras,
     )
 
@@ -143,6 +153,11 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
             f"--id_loss_type {cfg.id_loss_type} needs a classifier head: "
             "pass --num_classes (-1 = one class per training identity)"
         )
+    if cfg.id_loss_type == "softmax" and (cfg.margin_s is not None or cfg.margin_m is not None):
+        raise SystemExit(
+            "--cosine_scale/--cosine_margin only apply with a margin "
+            "--id_loss_type (arcface/cosface/amsoftmax/circle)"
+        )
     if cfg.id_loss_type != "softmax" and cfg.model_name not in MARGIN_HEAD_MODELS:
         # every other factory would swallow the kwarg and silently train a
         # plain softmax head — fail loudly instead
@@ -174,6 +189,7 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
     online, momentum = build_model_pair(
         cfg.model_name, jax.random.key(cfg.seed), img_size=cfg.img_size, dtype=dtype,
         num_classes=num_classes, id_loss_type=cfg.id_loss_type, sie_cameras=sie_cameras,
+        margin_s=cfg.margin_s, margin_m=cfg.margin_m,
     )
     if cfg.model_path:
         from daliid_tpu.train.checkpoint import load_variables

@@ -33,6 +33,8 @@ class TrainConfig:
     num_classes: int = 0
     id_loss_type: str = "softmax"         # softmax | arcface | cosface |
                                           # amsoftmax | circle
+    margin_s: float | None = None         # cfg.SOLVER.COSINE_SCALE
+    margin_m: float | None = None         # cfg.SOLVER.COSINE_MARGIN
     sie_cameras: int = 0                  # SIE camera table (cfg.MODEL.
                                           # SIE_CAMERA); -1 = #train cameras
 

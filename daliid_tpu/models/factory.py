@@ -127,13 +127,15 @@ def _vit_small(dtype=jnp.float32, img_size=(256, 128), **kw):
 
 @register_model("transreid_jpm")
 def _transreid_jpm(dtype=jnp.float32, img_size=(256, 128), sie_cameras=0, sie_views=0,
-                   num_classes=0, id_loss_type="softmax", **kw):
+                   num_classes=0, id_loss_type="softmax", margin_s=None, margin_m=None,
+                   **kw):
     """TransReID with the jigsaw patch module (make_models.py:221-389)."""
     from daliid_tpu.models.transreid_jpm import TransReIDJPM
 
     m = TransReIDJPM(
         img_size=tuple(img_size), sie_cameras=sie_cameras, sie_views=sie_views,
-        num_classes=num_classes, id_loss_type=id_loss_type, dtype=dtype,
+        num_classes=num_classes, id_loss_type=id_loss_type,
+        margin_s=margin_s, margin_m=margin_m, dtype=dtype,
     )
     return m, 5 * 768
 

@@ -64,6 +64,8 @@ class TransReIDJPM(nn.Module):
     id_loss_type: str = "softmax"  # cfg.MODEL.ID_LOSS_TYPE: 'softmax' or a
                                    # margin head (arcface/cosface/amsoftmax/
                                    # circle, make_models.py:260-277)
+    margin_s: float | None = None  # cfg.SOLVER.COSINE_SCALE (None = per-head default)
+    margin_m: float | None = None  # cfg.SOLVER.COSINE_MARGIN
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -135,7 +137,12 @@ class TransReIDJPM(nn.Module):
                     from daliid_tpu.margins import margin_logits
 
                     kernel = global_head.variables["params"]["kernel"]
-                    scores = [margin_logits(self.id_loss_type, feat, kernel, labels)]
+                    mkw = {}
+                    if self.margin_s is not None:
+                        mkw["s"] = self.margin_s
+                    if self.margin_m is not None:
+                        mkw["m"] = self.margin_m
+                    scores = [margin_logits(self.id_loss_type, feat, kernel, labels, **mkw)]
                 return scores, [global_feat] + locals_
 
         if self.neck_feat == "after":

@@ -82,3 +82,47 @@ def test_margin_grads_finite(problem):
     e, w, y = problem
     g = jax.grad(lambda e_: M.margin_softmax_loss("arcface", e_, w, y))(e)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_jpm_margin_scale_and_margin_plumbed():
+    """--cosine_scale/--cosine_margin (cfg.SOLVER.COSINE_SCALE/COSINE_MARGIN)
+    reach the margin math: custom (s, m) change the train-mode logits and
+    equal the direct margin_logits computation."""
+    import jax
+    import jax.numpy as jnp
+
+    from daliid_tpu.margins import margin_logits
+    from daliid_tpu.models.transreid_jpm import TransReIDJPM
+
+    def build(**kw):
+        m = TransReIDJPM(
+            img_size=(32, 16), patch_size=8, patch_stride=8, embed_dim=32,
+            depth=2, num_heads=2, num_classes=5, id_loss_type="cosface", **kw,
+        )
+        v = m.init({"params": jax.random.key(0)}, jnp.zeros((1, 32, 16, 3)), train=False)
+        return m, v
+
+    m_default, v = build()
+    m_custom, _ = build(margin_s=10.0, margin_m=0.1)
+    x = jax.random.normal(jax.random.key(1), (4, 32, 16, 3))
+    labels = jnp.asarray([0, 1, 2, 3])
+
+    (scores_d, feats_d), _ = m_default.apply(v, x, labels=labels, train=True,
+                                             mutable=["batch_stats"])
+    (scores_c, _), _ = m_custom.apply(v, x, labels=labels, train=True,
+                                      mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(scores_d[0]), np.asarray(scores_c[0]))
+
+    # reproduce the custom logits directly from the post-neck global feature
+    feat = feats_d[0]
+    bn = v["params"]["bottleneck"]
+    stats = v["batch_stats"]["bottleneck"]
+    # train-mode BN uses the batch statistics
+    mu = feat.mean(axis=0)
+    var = feat.var(axis=0)
+    feat_bn = (feat - mu) / jnp.sqrt(var + 1e-5) * bn["scale"] + bn["bias"]
+    expected = margin_logits(
+        "cosface", feat_bn, v["params"]["classifier"]["kernel"], labels, s=10.0, m=0.1
+    )
+    np.testing.assert_allclose(np.asarray(scores_c[0]), np.asarray(expected),
+                               rtol=1e-4, atol=1e-5)
