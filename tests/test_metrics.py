@@ -203,6 +203,11 @@ def test_counting_ranker_tied_distances_fuzz(rng):
         )
         np.testing.assert_allclose(np.asarray(cmc), cmc_np, atol=1e-6)
         assert float(mAP) == pytest.approx(map_np, abs=1e-6)
+        cmc_c, map_c = evaluate_rank_cpp(
+            distmat, q_pids, g_pids, q_camids, g_camids, max_rank=10
+        )
+        np.testing.assert_allclose(cmc_c, cmc_np, atol=1e-6)
+        assert map_c == pytest.approx(map_np, abs=1e-6)
 
 
 def test_positive_columns_edges():
