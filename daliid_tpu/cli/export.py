@@ -53,7 +53,9 @@ def main(args):
 
     to_torch = args.output.lower().endswith(TORCH_EXTS)
     from_torch = args.input.lower().endswith(TORCH_EXTS)
-    if to_torch == from_torch:
+    npz_in = args.input.lower().endswith(".npz")
+    npz_out = args.output.lower().endswith(".npz")
+    if not ((from_torch and npz_out) or (npz_in and to_torch)):
         raise SystemExit(
             f"exactly one side must be a torch pickle ({'/'.join(TORCH_EXTS)}) "
             f"and the other an .npz: got {args.input} -> {args.output}"

@@ -59,17 +59,15 @@ def main(args):
     extractor = FeatureExtractor(bundle, img_size=img_size, batch_size=args.batch_size)
 
     if args.load_index:
-        data = np.load(args.load_index)
-        g_fvs, g_pids = data["embeddings"], data["pids"]
-        print(f"Loaded index: {g_fvs.shape[0]} entries from {args.load_index}")
+        # one schema with GalleryIndex.save (legacy 'embeddings' accepted)
+        index = GalleryIndex.load(args.load_index)
+        print(f"Loaded index: {index.num_gallery} entries from {args.load_index}")
     else:
         g_fvs = extractor.extract(gallery, verbose=True)
-        g_pids = gallery.pids
+        index = GalleryIndex(g_fvs, gallery_pids=gallery.pids)
         if args.save_index:
-            np.savez(args.save_index, embeddings=g_fvs, pids=g_pids)
-            print(f"Saved index ({g_fvs.shape[0]} entries) to {args.save_index}")
-
-    index = GalleryIndex(g_fvs, gallery_pids=g_pids)
+            index.save(args.save_index)
+            print(f"Saved index ({index.num_gallery} entries) to {args.save_index}")
 
     probes = queries if not args.max_probes else queries[np.arange(args.max_probes)]
     q_fvs = extractor.extract(probes, verbose=True)

@@ -29,28 +29,29 @@ class GalleryIndex:
 
     ``add``/``remove`` support live gallery churn (enroll/retire
     identities); ``save``/``load`` persist the index to one npz. A host
-    copy of the normalized matrix backs the updates; the device copy is
-    re-sharded on each commit (jit recompiles only when the padded shape
-    grows past the previous power-of-two-ish padding)."""
+    copy of the normalized matrix backs the updates. The device buffer is
+    padded to a per-shard power of two and the jitted search takes the live
+    row count as a traced scalar, so enrollment recompiles only when the
+    padded shape actually grows (log-many compiles over any insert
+    sequence), never per ``add``."""
 
     def __init__(self, gallery_fvs: np.ndarray, gallery_pids=None, mesh=None):
         self.mesh = mesh if mesh is not None else make_mesh()
         g = np.asarray(gallery_fvs, np.float32)
         g = g / (np.linalg.norm(g, axis=1, keepdims=True) + 1e-12)
         self.gallery_pids = None if gallery_pids is None else np.asarray(gallery_pids)
+        self._search = self._build_search()
         self._commit(g)
 
     def _commit(self, g_norm: np.ndarray) -> None:
         n_dev = self.mesh.devices.size
         self._host_gallery = g_norm
         self.num_gallery = g_norm.shape[0]
-        pad = (-g_norm.shape[0]) % n_dev
-        g = (
-            np.concatenate([g_norm, np.zeros((pad, g_norm.shape[1]), np.float32)])
-            if pad else g_norm
-        )
+        per_shard = -(-max(self.num_gallery, 1) // n_dev)
+        per_shard = 1 << (per_shard - 1).bit_length()  # next power of two
+        pad = n_dev * per_shard - self.num_gallery
+        g = np.concatenate([g_norm, np.zeros((pad, g_norm.shape[1]), np.float32)]) if pad else g_norm
         self._gallery = jax.device_put(g, NamedSharding(self.mesh, P("data", None)))
-        self._search = self._build_search()
 
     def add(self, fvs: np.ndarray, pids=None) -> None:
         """Enroll additional gallery rows (raw embeddings; normalized here)."""
@@ -65,7 +66,7 @@ class GalleryIndex:
     def remove(self, indices) -> None:
         """Retire gallery rows by index (as returned by ``search``)."""
         keep = np.ones(self.num_gallery, bool)
-        keep[np.asarray(indices)] = False
+        keep[np.asarray(indices, dtype=np.intp)] = False
         if self.gallery_pids is not None:
             self.gallery_pids = self.gallery_pids[keep]
         self._commit(self._host_gallery[keep])
@@ -79,17 +80,17 @@ class GalleryIndex:
     @classmethod
     def load(cls, path: str, mesh=None) -> "GalleryIndex":
         with np.load(path) as z:
-            return cls(z["gallery"], z.get("pids"), mesh=mesh)
+            # 'embeddings' = the cli/search.py save format of earlier rounds
+            g = z["gallery"] if "gallery" in z.files else z["embeddings"]
+            pids = z["pids"] if "pids" in z.files else None
+            return cls(g, pids, mesh=mesh)
 
     def _build_search(self):
         mesh = self.mesh
-        n_dev = mesh.devices.size
-        g_pad = self._gallery.shape[0]
-        shard_size = g_pad // n_dev
-        num_real = self.num_gallery
 
-        def local_search(q, g_local, k):
+        def local_search(q, g_local, num_real, k):
             # q replicated (Q, D); g_local (G/n, D) this shard's rows
+            shard_size = g_local.shape[0]
             sims = jnp.dot(q, g_local.T, preferred_element_type=jnp.float32)
             shard_idx = jax.lax.axis_index("data")
             base = shard_idx * shard_size
@@ -110,15 +111,15 @@ class GalleryIndex:
             return mvals, midx
 
         @functools.partial(jax.jit, static_argnames=("k",))
-        def search(q, gallery, k):
+        def search(q, gallery, num_real, k):
             fn = jax.shard_map(
                 functools.partial(local_search, k=k),
                 mesh=mesh,
-                in_specs=(P(), P("data", None)),
+                in_specs=(P(), P("data", None), P()),
                 out_specs=(P(), P()),
                 check_vma=False,
             )
-            return fn(q, gallery)
+            return fn(q, gallery, num_real)
 
         return search
 
@@ -131,7 +132,9 @@ class GalleryIndex:
         q = np.asarray(probe_fvs, np.float32)
         q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
         k = min(k, self.num_gallery)
-        vals, idx = self._search(jnp.asarray(q), self._gallery, k)
+        vals, idx = self._search(
+            jnp.asarray(q), self._gallery, jnp.int32(self.num_gallery), k
+        )
         vals, idx = np.asarray(vals), np.asarray(idx)
         if self.gallery_pids is not None:
             return vals, idx, self.gallery_pids[idx]

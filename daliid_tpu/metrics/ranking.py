@@ -139,13 +139,25 @@ def positive_columns(q_pids, g_pids, max_positives: int) -> np.ndarray:
         return np.full((qp.shape[0], max_positives), -1, np.int32)
     order = np.argsort(gp, kind="stable")
     uniq, starts, counts = np.unique(gp[order], return_index=True, return_counts=True)
-    pid_table = np.full((uniq.shape[0], max_positives), -1, np.int32)
+    width = int(counts.max())
+    pid_table = np.full((uniq.shape[0], width), -1, np.int32)
     rows = np.repeat(np.arange(uniq.shape[0]), counts)
     slots = np.arange(gp.size) - np.repeat(starts, counts)
     pid_table[rows, slots] = order
     q_row = np.clip(np.searchsorted(uniq, qp), 0, uniq.shape[0] - 1)
     has = uniq[q_row] == qp
-    return np.where(has[:, None], pid_table[q_row], -1).astype(np.int32)
+    q_mult = np.where(has, counts[q_row], 0)
+    if q_mult.size and int(q_mult.max()) > max_positives:
+        # truncating here would silently drop positives and miscount ranks
+        raise ValueError(
+            f"max_positives={max_positives} is below the largest queried-pid "
+            f"gallery multiplicity ({int(q_mult.max())}); raise it or use the "
+            "default bound"
+        )
+    out = np.full((qp.shape[0], max_positives), -1, np.int32)
+    take = min(width, max_positives)
+    out[:, :take] = np.where(has[:, None], pid_table[q_row][:, :take], -1)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("max_rank", "query_chunk", "g_block"))

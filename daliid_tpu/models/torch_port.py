@@ -313,14 +313,49 @@ def vit_reid_from_torch(state_dict: Mapping[str, object], *, depth: int = 12,
     return variables
 
 
+def _denormalize_to_torchvision_vit_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`_normalize_torchvision_vit_keys`: bare TransReID
+    naming → torchvision ``vit_b_16`` naming (the ``ViTReID`` wrapper
+    scheme, ``Encoders.py:767-828``)."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("blocks."):
+            _, idx, rest = k.split(".", 2)
+            rest = (
+                rest.replace("norm1", "ln_1")
+                .replace("norm2", "ln_2")
+                .replace("attn.proj", "self_attention.out_proj")
+                .replace("attn.qkv.weight", "self_attention.in_proj_weight")
+                .replace("attn.qkv.bias", "self_attention.in_proj_bias")
+                .replace("mlp.fc1", "mlp.0")
+                .replace("mlp.fc2", "mlp.3")
+            )
+            nk = f"encoder.layers.encoder_layer_{idx}.{rest}"
+        else:
+            nk = (
+                k.replace("cls_token", "class_token")
+                .replace("pos_embed", "encoder.pos_embedding")
+                .replace("patch_embed.proj", "conv_proj")
+                .replace("norm.weight", "encoder.ln.weight")
+                .replace("norm.bias", "encoder.ln.bias")
+            )
+        out[nk] = v
+    return out
+
+
 def vit_reid_to_torch_keys(variables, *, depth: int = 12, wrapper: str = "base") -> Dict[str, np.ndarray]:
-    """flax ``ViTReID`` → TransReID-scheme torch keys (``base.*`` +
-    ``bottleneck`` when ``wrapper='base'``; bare scheme + ``last_bn``
-    otherwise)."""
+    """flax ``ViTReID`` → torch keys. ``wrapper`` picks the reference
+    scheme: ``'base'`` = ``build_transformer`` (``base.*`` + unprefixed
+    ``bottleneck``, ``make_models.py:121-218``); ``'bare'`` = the bare
+    ``vit_pytorch`` backbone + ``last_bn``; ``'torchvision'`` = the
+    ``ViTReID`` wrapper over torchvision ``vit_b_16`` naming + ``last_bn``
+    (``Encoders.py:767-828``)."""
     prefix = "base" if wrapper == "base" else ""
     has_sie = "sie_embed" in variables["params"]
     entries = _vit_trunk_entries(prefix, depth, has_sie, local_feature=False)
     out = _export(variables, entries)
+    if wrapper == "torchvision":
+        out = _denormalize_to_torchvision_vit_keys(out)
     neck = "bottleneck" if wrapper == "base" else "last_bn"
     p, s = variables["params"]["last_bn"], variables["batch_stats"]["last_bn"]
     out[f"{neck}.weight"] = np.asarray(p["scale"])
@@ -733,7 +768,12 @@ def variables_to_torch(model_name: str, variables, *, module=None) -> Dict[str, 
         return resnet_ibn_reid_to_torch_keys(variables)
     if model_name == "resnet101IBN":
         return resnet_ibn_reid_to_torch_keys(variables, stage_sizes=(3, 4, 23, 3))
-    if model_name in ("vit", "vit_small", "transreid"):
+    if model_name in ("vit", "vit_small"):
+        # these registry names are the reference's ViTReID wrapper over
+        # torchvision vit_b_16 (Encoders.py:767-828) — export its scheme
+        kw = {"depth": module.depth} if module is not None else {}
+        return vit_reid_to_torch_keys(variables, wrapper="torchvision", **kw)
+    if model_name == "transreid":
         kw = {"depth": module.depth} if module is not None else {}
         return vit_reid_to_torch_keys(variables, **kw)
     if model_name == "transreid_jpm":

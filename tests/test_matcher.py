@@ -79,3 +79,14 @@ def test_gallery_index_add_remove_save_load(tmp_path, rng):
     v5, i5, p5 = back.search(probes, k=4)
     np.testing.assert_allclose(v5, v3, rtol=1e-6)
     np.testing.assert_array_equal(p5, p3)
+
+
+def test_gallery_index_remove_nothing_and_search_fn_stable(rng):
+    """remove([]) is a no-op (review fix: float64 empty index array), and
+    enrollment reuses one jitted search (no per-add closure rebuild)."""
+    idx = GalleryIndex(rng.normal(size=(9, 16)).astype(np.float32), np.arange(9))
+    fn_before = idx._search
+    idx.remove([])
+    assert idx.num_gallery == 9
+    idx.add(rng.normal(size=(2, 16)).astype(np.float32), np.asarray([50, 51]))
+    assert idx._search is fn_before

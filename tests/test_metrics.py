@@ -245,3 +245,25 @@ def test_rank_query_pid_absent_from_gallery():
     )
     np.testing.assert_allclose(np.asarray(cmc), cmc_np)
     assert float(mAP) == pytest.approx(map_np) == pytest.approx(1.0)
+
+
+def test_small_max_positives_override_fails_loudly():
+    """An explicit max_positives below a queried pid's gallery multiplicity
+    would silently drop positives; it must raise instead (review fix)."""
+    import jax.numpy as jnp
+
+    from daliid_tpu.metrics.ranking import evaluate_rank_jax
+
+    distmat = np.random.default_rng(0).random((1, 5)).astype(np.float32)
+    with pytest.raises(ValueError, match="max_positives"):
+        evaluate_rank_jax(
+            jnp.asarray(distmat), np.asarray([0]), np.asarray([0, 0, 0, 0, 1]),
+            np.asarray([9]), np.asarray([1]), max_rank=5, max_positives=2,
+        )
+    # UNreferenced pids may exceed the bound freely (pid 0 has 4 entries but
+    # no query asks for it — the reviewer's crash case, now valid)
+    cmc, mAP = evaluate_rank_jax(
+        jnp.asarray(distmat), np.asarray([1]), np.asarray([0, 0, 0, 0, 1]),
+        np.asarray([9]), np.asarray([1, 1, 1, 1, 1]), max_rank=5, max_positives=2,
+    )
+    assert 0.0 < float(mAP) <= 1.0

@@ -872,3 +872,30 @@ def test_jpm_margin_head_checkpoint_loads(ref_jpm):
     )
     out = m.apply(variables, jnp.zeros((2, 64, 32, 3)), train=False)
     assert out.shape == (2, 5 * 768) and np.all(np.isfinite(np.asarray(out)))
+
+
+def test_vit_torchvision_export_round_trip(torch_mod, ref_vit):
+    """variables_to_torch('vit', ...) targets the ViTReID wrapper's
+    torchvision naming (Encoders.py:767-828); re-importing the export must
+    reproduce every leaf (review fix: the default 'base' scheme would not
+    load into the reference wrapper)."""
+    t = torch_mod
+    m = ref_vit.vit_base_patch16_224_TransReID(
+        img_size=(64, 32), stride_size=16, drop_path_rate=0.0, camera=0, view=0,
+    )
+    _randomize(t, m).eval()
+    variables = tp.vit_reid_from_torch(m.state_dict())
+
+    exported = tp.variables_to_torch("vit", variables)
+    # torchvision wrapper naming present, bare/TransReID naming absent
+    assert any(k.startswith("encoder.layers.encoder_layer_0.") for k in exported)
+    assert any(k == "class_token" for k in exported)
+    assert "last_bn.weight" in exported and "bottleneck.weight" not in exported
+    assert not any(k.startswith("blocks.") for k in exported)
+
+    back = tp.vit_reid_from_torch(exported)
+    flat1 = jax.tree_util.tree_leaves_with_path(variables)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat1) == len(flat2)
+    for path, leaf in flat1:
+        np.testing.assert_array_equal(leaf, flat2[path], err_msg=str(path))
