@@ -57,6 +57,7 @@ def aggregate_trace(trace_dir: str):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", type=str, default="resnet50")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--top", type=int, default=30)
@@ -75,7 +76,7 @@ def main():
 
     img_size = (256, 128)
     mesh = make_mesh()
-    bundle = get_model("resnet50", jax.random.key(0), img_size=img_size, dtype=jnp.bfloat16)
+    bundle = get_model(args.model, jax.random.key(0), img_size=img_size, dtype=jnp.bfloat16)
     variables = jax.device_put(bundle.variables, replicated_sharding(mesh))
     module = bundle.module
     rng = np.random.default_rng(0)
