@@ -34,4 +34,6 @@ def pytest_configure(config):
 
 @pytest.fixture
 def rng():
-    return np.random.default_rng(12)
+    # DALIID_TEST_SEED enables multi-seed soak runs of the randomized parity
+    # tests (default = the reference's own fixed seed, mainKIT.py:48)
+    return np.random.default_rng(int(os.environ.get("DALIID_TEST_SEED", "12")))
