@@ -49,6 +49,11 @@ def build_argparser() -> argparse.ArgumentParser:
         help="with --multiple_output: also report Weibull meta-recognition fusion (evaluate.py:610-627)",
     )
     p.add_argument(
+        "--head_weighting", type=str, default="mean", choices=["mean", "magnitude"],
+        help="multi-head ensemble: plain mean (evaluate.py:279) or per-pair "
+             "max-norm weights (the :247-249 variant)",
+    )
+    p.add_argument(
         "--sie_cameras", type=int, default=0,
         help="SIE camera-embedding table size for TransReID backbones "
              "(cfg.MODEL.SIE_CAMERA equivalent; must match the checkpoint)",
@@ -151,14 +156,26 @@ def main(args):
             return cmc, mAP
 
         if args.multiple_output and isinstance(q_fvs, tuple):
-            # per-head distmats + mean ensemble (evaluate.py:239-279);
-            # per-pair max-norm weights available via eval.fusion
+            # per-head distmats + ensemble (evaluate.py:239-279). The
+            # reference's active ensemble is the plain mean (:279); its
+            # per-pair max-norm weighted variant (:247-249, commented
+            # upstream at :277) is --head_weighting magnitude
             distmats = []
             for h, (qh, gh) in enumerate(zip(q_fvs, g_fvs)):
                 d = validator.distance_matrix(qh, gh)
                 distmats.append(np.asarray(d))
                 report(f":head{h}", d)
-            ensemble = np.mean(distmats, axis=0)
+            if getattr(args, "head_weighting", "mean") == "magnitude":
+                weights = [
+                    np.maximum(
+                        np.linalg.norm(qh, axis=1, keepdims=True),
+                        np.linalg.norm(gh, axis=1, keepdims=True).T,
+                    )
+                    for qh, gh in zip(q_fvs, g_fvs)
+                ]
+                ensemble = sum(w * d for w, d in zip(weights, distmats)) / sum(weights)
+            else:
+                ensemble = np.mean(distmats, axis=0)
             results[target] = report(":ensemble", ensemble)
             if args.mrfuse and len(distmats) >= 3:
                 from daliid_tpu.eval.meta_recognition import mrfuse

@@ -153,3 +153,14 @@ def test_export_cli_rejects_ambiguous_direction(tmp_path):
     with pytest.raises(SystemExit, match="torch pickle"):
         export_cli.main(export_cli.build_argparser().parse_args(
             ["--model_name", "resnet50", "--input", "a.npz", "--output", "b.npz"]))
+
+
+def test_evaluate_cli_multihead_magnitude_weighting(data_root):
+    """--multiple_output with --head_weighting magnitude: the reference's
+    per-pair max-norm ensemble variant (evaluate.py:247-249)."""
+    results = eval_cli.main(_eval_args(
+        data_root, model_name="multiview_resnet50", multiple_output=True,
+        head_weighting="magnitude",
+    ))
+    cmc, mAP = results["Market"]
+    assert 0.0 <= mAP <= 1.0 and 0.0 <= cmc[0] <= 1.0
