@@ -54,6 +54,11 @@ def build_argparser() -> argparse.ArgumentParser:
              "max-norm weights (the :247-249 variant)",
     )
     p.add_argument(
+        "--rerank", action="store_true",
+        help="k-reciprocal re-ranking before the metrics (the reference "
+             "carries this commented out, evaluate.py:296-301)",
+    )
+    p.add_argument(
         "--sie_cameras", type=int, default=0,
         help="SIE camera-embedding table size for TransReID backbones "
              "(cfg.MODEL.SIE_CAMERA equivalent; must match the checkpoint)",
@@ -115,7 +120,10 @@ def main(args):
                     f"camids run up to {cam_max} and index the table directly "
                     f"(1-based datasets need max+1 = {cam_max + 1})"
                 )
-        validator = get_validator(target, img_size=img_size, batch_size=args.batch_size)
+        validator = get_validator(
+            target, img_size=img_size, batch_size=args.batch_size,
+            rerank=getattr(args, "rerank", False),
+        )
 
         # multi-split protocols (PRCC's 10 gallery splits, ImageNet-as-reid):
         # evaluate every (query set, gallery split) pair and report the mean
@@ -184,6 +192,15 @@ def main(args):
                 results[target + ":mrfuse"] = report(":mrfuse", 1.0 - np.asarray(fused_sim))
         else:
             distmat = validator.distance_matrix(q_fvs, g_fvs)
+            if getattr(args, "rerank", False):
+                from daliid_tpu.eval.rerank import re_ranking
+
+                print("Applying person re-ranking ...")
+                distmat = re_ranking(
+                    np.asarray(distmat),
+                    np.asarray(validator.distance_matrix(q_fvs, q_fvs)),
+                    np.asarray(validator.distance_matrix(g_fvs, g_fvs)),
+                )
             results[target] = report("", distmat)
     return results
 

@@ -164,3 +164,11 @@ def test_evaluate_cli_multihead_magnitude_weighting(data_root):
     ))
     cmc, mAP = results["Market"]
     assert 0.0 <= mAP <= 1.0 and 0.0 <= cmc[0] <= 1.0
+
+
+def test_evaluate_cli_rerank(data_root):
+    """--rerank applies k-reciprocal re-ranking before the metrics (the
+    reference's commented path, evaluate.py:296-301)."""
+    results = eval_cli.main(_eval_args(data_root, rerank=True))
+    cmc, mAP = results["Market"]
+    assert 0.0 <= mAP <= 1.0 and 0.0 <= cmc[0] <= 1.0
