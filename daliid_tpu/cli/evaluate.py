@@ -95,6 +95,10 @@ def main(args):
             f"--sie_cameras only applies to {sorted(SIE_MODELS)}; "
             f"{args.model_name} has no SIE embedding"
         )
+    if getattr(args, "rerank", False) and args.multiple_output:
+        raise SystemExit("--rerank supports single-output evaluation only")
+    if getattr(args, "head_weighting", "mean") != "mean" and not args.multiple_output:
+        raise SystemExit("--head_weighting applies only with --multiple_output")
     bundle = load_bundle(
         args.model_name, args.model_path, img_size, dtype,
         sie_cameras=getattr(args, "sie_cameras", 0),
@@ -136,7 +140,9 @@ def main(args):
                 r1s, maps = [], []
                 for gi, gset in enumerate(galleries):
                     g_fvs = extractor.extract(gset, verbose=False)
-                    cmc, mAP = validator.rank(validator.distance_matrix(q_fvs, g_fvs), qset, gset)
+                    cmc, mAP = validator.rank(
+                        validator.reranked_distance_matrix(q_fvs, g_fvs), qset, gset
+                    )
                     r1s.append(float(cmc[0]))
                     maps.append(float(mAP))
                 print(
@@ -163,7 +169,12 @@ def main(args):
                     print(f"[{target}{tag}] Rank-{r:<3}: {cmc[r - 1]:.2%}")
             return cmc, mAP
 
-        if args.multiple_output and isinstance(q_fvs, tuple):
+        if args.multiple_output and not isinstance(q_fvs, tuple):
+            raise SystemExit(
+                f"--multiple_output requires a multi-head model; "
+                f"{args.model_name} returns a single embedding"
+            )
+        if args.multiple_output:
             # per-head distmats + ensemble (evaluate.py:239-279). The
             # reference's active ensemble is the plain mean (:279); its
             # per-pair max-norm weighted variant (:247-249, commented
@@ -191,16 +202,7 @@ def main(args):
                 fused_sim = mrfuse(*[1.0 - d for d in distmats[:3]])
                 results[target + ":mrfuse"] = report(":mrfuse", 1.0 - np.asarray(fused_sim))
         else:
-            distmat = validator.distance_matrix(q_fvs, g_fvs)
-            if getattr(args, "rerank", False):
-                from daliid_tpu.eval.rerank import re_ranking
-
-                print("Applying person re-ranking ...")
-                distmat = re_ranking(
-                    np.asarray(distmat),
-                    np.asarray(validator.distance_matrix(q_fvs, q_fvs)),
-                    np.asarray(validator.distance_matrix(g_fvs, g_fvs)),
-                )
+            distmat = validator.reranked_distance_matrix(q_fvs, g_fvs, verbose=True)
             results[target] = report("", distmat)
     return results
 

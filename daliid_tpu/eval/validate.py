@@ -44,6 +44,24 @@ class Validator:
     def distance_matrix(self, query_fvs: np.ndarray, gallery_fvs: np.ndarray) -> jnp.ndarray:
         return cosine_distance_matrix(jnp.asarray(query_fvs), jnp.asarray(gallery_fvs))
 
+    def reranked_distance_matrix(self, query_fvs, gallery_fvs, verbose: bool = False):
+        """Distmat with the validator's optional k-reciprocal re-ranking
+        applied (the commented path at ``validateModels.py:49-53``) — the
+        one place the rerank switch acts, shared by ``validate`` and the
+        eval CLI."""
+        distmat = self.distance_matrix(query_fvs, gallery_fvs)
+        if not self.rerank:
+            return distmat
+        from daliid_tpu.eval.rerank import re_ranking
+
+        if verbose:
+            print("Applying person re-ranking ...")
+        return re_ranking(
+            np.asarray(distmat),
+            np.asarray(self.distance_matrix(query_fvs, query_fvs)),
+            np.asarray(self.distance_matrix(gallery_fvs, gallery_fvs)),
+        )
+
     def rank(self, distmat, queries: ReidTable, gallery: ReidTable):
         cmc, mAP = evaluate_rank_jax(
             jnp.asarray(distmat),
@@ -67,17 +85,7 @@ class Validator:
         )
         q_fvs = extractor.extract(queries, verbose=verbose)
         g_fvs = extractor.extract(gallery, verbose=verbose)
-        distmat = self.distance_matrix(q_fvs, g_fvs)
-        if self.rerank:
-            from daliid_tpu.eval.rerank import re_ranking
-
-            if verbose:
-                print("Applying person re-ranking ...")
-            distmat = re_ranking(
-                np.asarray(distmat),
-                np.asarray(self.distance_matrix(q_fvs, q_fvs)),
-                np.asarray(self.distance_matrix(g_fvs, g_fvs)),
-            )
+        distmat = self.reranked_distance_matrix(q_fvs, g_fvs, verbose=verbose)
         cmc, mAP = self.rank(distmat, queries, gallery)
         if verbose:
             print(f"** Results ** mAP: {mAP:.2%}")

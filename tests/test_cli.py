@@ -172,3 +172,15 @@ def test_evaluate_cli_rerank(data_root):
     results = eval_cli.main(_eval_args(data_root, rerank=True))
     cmc, mAP = results["Market"]
     assert 0.0 <= mAP <= 1.0 and 0.0 <= cmc[0] <= 1.0
+
+
+def test_evaluate_cli_flag_combinations_fail_loudly(data_root):
+    """Ensemble/rerank flags that would silently not apply must error
+    (review fix): rerank is single-output only, head weighting needs
+    --multiple_output, and --multiple_output needs a multi-head model."""
+    with pytest.raises(SystemExit, match="single-output"):
+        eval_cli.main(_eval_args(data_root, rerank=True, multiple_output=True))
+    with pytest.raises(SystemExit, match="head_weighting"):
+        eval_cli.main(_eval_args(data_root, head_weighting="magnitude"))
+    with pytest.raises(SystemExit, match="multi-head"):
+        eval_cli.main(_eval_args(data_root, multiple_output=True))

@@ -41,10 +41,15 @@ def main():
         print(f"search batch={nq:4d} k={K}: {dt * 1e3:7.2f} ms "
               f"({nq / dt:9.0f} probes/s)")
 
-    # enrollment churn: adds amortize to log-many recompiles
+    # enrollment churn: adds amortize to log-many recompiles. Each add ends
+    # in an async device_put of the re-sharded gallery — block on the final
+    # buffer so the measured time includes the in-flight uploads.
+    import jax
+
     t0 = time.time()
     for i in range(32):
         index.add(rng.normal(size=(1, D)).astype(np.float32), np.asarray([1000 + i]))
+    jax.block_until_ready(index._gallery)
     dt = time.time() - t0
     out = index.search(rng.normal(size=(1, D)).astype(np.float32), k=K)
     print(f"32 single-row enrollments: {dt * 1e3:.1f} ms total "

@@ -88,7 +88,9 @@ def main():
     @jax.jit
     def forward(variables, images_u8):
         x = normalize_images(images_u8, dtype=jnp.bfloat16)
-        return module.apply(variables, x, train=False).astype(jnp.float32)
+        out = module.apply(variables, x, train=False)
+        # multi-head models (multipart/dual/multiview) return tuples
+        return jax.tree.map(lambda f: f.astype(jnp.float32), out)
 
     compiled = jax.jit(forward).lower(variables, imgs).compile()
     # fusion name → source op_name metadata (flax scope path), from the
