@@ -32,7 +32,13 @@ import numpy as np
 from daliid_tpu.augment.preprocess import decode_resize, normalize_images
 from daliid_tpu.data.registry import ReidTable
 from daliid_tpu.data.turbulence import turbulence_path
-from daliid_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from daliid_tpu.parallel.mesh import (
+    batch_sharding,
+    fetch_global,
+    make_mesh,
+    put_global,
+    replicated_sharding,
+)
 
 
 class FeatureExtractor:
@@ -67,7 +73,7 @@ class FeatureExtractor:
         self.decode_workers = max(1, min(decode_workers, 2 * (_os.cpu_count() or 1)))
         self._batch_shard = batch_sharding(self.mesh)
         self._replicated = replicated_sharding(self.mesh)
-        self._variables = jax.device_put(bundle.variables, self._replicated)
+        self._variables = put_global(bundle.variables, self._replicated)
 
         module = bundle.module
         # SIE-conditioned backbones (TransReID camera/view embeddings) take
@@ -103,7 +109,7 @@ class FeatureExtractor:
     def update_variables(self, variables) -> None:
         """Swap in new weights (e.g. after a training epoch) without
         recompiling."""
-        self._variables = jax.device_put(variables, self._replicated)
+        self._variables = put_global(variables, self._replicated)
 
     def _decode_paths(self, paths: Sequence[str]) -> np.ndarray:
         h, w = self.img_size
@@ -181,16 +187,20 @@ class FeatureExtractor:
                 thread.join()
                 raise item
             b, imgs, valid = item
-            device_batch = jax.device_put(imgs, self._batch_shard)
+            # put_global/fetch_global keep this exact loop working when the
+            # mesh spans processes (multi-host eval: same paths + seeds on
+            # every host, shards contributed per process, allgather back)
+            device_batch = put_global(imgs, self._batch_shard)
             if self._takes_camera_ids:
                 cam_chunk = camids[b * bs : b * bs + valid]
                 cam_chunk = np.pad(cam_chunk, (0, bs - valid))
                 feats = self._forward(
                     self._variables, device_batch,
-                    jax.device_put(cam_chunk, self._batch_shard),
+                    put_global(cam_chunk, self._batch_shard),
                 )
             else:
                 feats = self._forward(self._variables, device_batch)
+            feats = fetch_global(feats)
             if isinstance(feats, tuple):
                 is_multi = True
                 outputs.append(tuple(np.asarray(f[:valid]) for f in feats))

@@ -56,3 +56,35 @@ def pad_to_multiple(array: np.ndarray, multiple: int, axis: int = 0):
 def shard_batch(mesh: Mesh, array, axis: str = "data"):
     """Device-put a host batch sharded on axis 0 over the mesh."""
     return jax.device_put(array, batch_sharding(mesh, axis))
+
+
+def put_global(array, sharding: NamedSharding):
+    """Device-put host data under a sharding that may span processes.
+
+    Single-process: a plain ``device_put``. Multi-process (the mesh covers
+    other hosts' devices): every process must hold the SAME full global
+    array (the data pipeline is deterministic — seeded samplers, shared
+    file lists), and each contributes only its addressable shards via
+    ``make_array_from_callback``.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(array, sharding)
+
+    def put_leaf(leaf):
+        arr = np.asarray(leaf)
+        return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+    return jax.tree.map(put_leaf, array)
+
+
+def fetch_global(x):
+    """Bring a (possibly cross-process sharded) array tree back to host
+    numpy on every process — the gather leg of DataParallel. Works on
+    pytrees (multi-head extractors return tuples)."""
+    if jax.process_count() == 1:
+        return jax.tree.map(np.asarray, x)
+    from jax.experimental import multihost_utils
+
+    return jax.tree.map(
+        lambda f: np.asarray(multihost_utils.process_allgather(f, tiled=True)), x
+    )

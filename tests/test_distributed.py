@@ -94,3 +94,77 @@ def test_two_process_psum():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
     assert "psum over" in outs[0] and "psum over" in outs[1]
+
+
+_EXTRACT_WORKER = r"""
+import glob, os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, {repo!r})
+from daliid_tpu.parallel.distributed import initialize_multihost
+
+initialize_multihost(coordinator_address={coord!r}, num_processes=2,
+                     process_id=int(sys.argv[1]))
+assert jax.process_count() == 2
+
+import jax.numpy as jnp
+import numpy as np
+
+from daliid_tpu.augment.preprocess import decode_resize, normalize_images
+from daliid_tpu.eval.features import FeatureExtractor
+from daliid_tpu.models.factory import ModelBundle
+from daliid_tpu.models.resnet import ResNet50ReID
+
+root = {root!r}
+paths = sorted(glob.glob(os.path.join(root, "query", "*.jpg")))
+assert len(paths) >= 5, paths
+
+m = ResNet50ReID(stage_sizes=(1, 1, 1, 1))
+v = m.init({{"params": jax.random.key(0)}}, jnp.zeros((1, 32, 16, 3)), train=False)
+bundle = ModelBundle(module=m, variables=v, feature_dim=2048, name="tiny")
+
+ex = FeatureExtractor(bundle, img_size=(32, 16), batch_size=4, decode_workers=2)
+feats = ex.extract(paths)
+
+imgs = np.stack([decode_resize(p, 32, 16) for p in paths])
+ref = m.apply(v, normalize_images(jnp.asarray(imgs), dtype=jnp.float32), train=False)
+np.testing.assert_allclose(feats, np.asarray(ref), rtol=1e-4, atol=1e-5)
+print(f"proc{{jax.process_index()}}: cross-process extraction OK {{feats.shape}}")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_feature_extraction(tmp_path):
+    """The FULL extraction pipeline across two processes: global data mesh
+    over both hosts' devices, per-process shard contribution (put_global),
+    cross-process allgather (fetch_global) — outputs must equal an
+    unsharded single-device forward bit-for-bit (within float tolerance)."""
+    from daliid_tpu.data import make_synthetic_dataset
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "ds")
+    make_synthetic_dataset(root, num_ids=5, imgs_per_id_train=2, imgs_per_id_test=3,
+                           height=32, width=16, with_turbulence=False)
+    coord = f"127.0.0.1:{_free_port()}"
+    code = _EXTRACT_WORKER.format(repo=repo, coord=coord, root=root)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=2"])
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
+    assert all("cross-process extraction OK" in o for o in outs)
