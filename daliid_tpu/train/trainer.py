@@ -38,7 +38,7 @@ from daliid_tpu.augment.preprocess import decode_resize
 from daliid_tpu.augment.train_augment import _augment_one
 from daliid_tpu.augment.preprocess import IMAGENET_MEAN, IMAGENET_STD
 from daliid_tpu.eval.features import FeatureExtractor
-from daliid_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from daliid_tpu.parallel.mesh import batch_sharding, make_mesh, put_global, replicated_sharding
 from daliid_tpu.train.proxies import mine_proxies_and_centers
 from daliid_tpu.train.sampler import PKBatchSampler
 from daliid_tpu.utils.profiling import PhaseTimer
@@ -157,7 +157,7 @@ class Trainer:
         self.optimizer = make_optimizer(base_lr, weight_decay)
         replicated = replicated_sharding(self.mesh)
         opt_state = self.optimizer.init(bundle_online.variables["params"])
-        self.state = jax.device_put(
+        self.state = put_global(
             TrainState(
                 params=bundle_online.variables["params"],
                 batch_stats=bundle_online.variables.get("batch_stats", {}),
@@ -436,9 +436,9 @@ class Trainer:
         lr = self.set_epoch_hyperparams(epoch)
         with self.timer.span("proxy_mining"):
             pset = self.mine_proxies(verbose=verbose, use_momentum=self.momentum_on_feature_extraction)
-        centers = jax.device_put(jnp.asarray(pset.centers), self._replicated)
-        proxies = jax.device_put(jnp.asarray(pset.proxies), self._replicated)
-        proxy_labels = jax.device_put(jnp.asarray(pset.proxy_labels), self._replicated)
+        centers = put_global(np.asarray(pset.centers), self._replicated)
+        proxies = put_global(np.asarray(pset.proxies), self._replicated)
+        proxy_labels = put_global(np.asarray(pset.proxy_labels), self._replicated)
 
         n_batches = 0
         step_metrics = []  # device values; fetched once after the loop so no
@@ -465,7 +465,7 @@ class Trainer:
                 distortions = np.concatenate([distortions, np.zeros(pad, np.int32)])
                 mask = np.concatenate([mask, np.zeros(pad, bool)])
                 camids = np.concatenate([camids, np.zeros(pad, np.int32)])
-            put = lambda a: jax.device_put(a, self._batch_shard)
+            put = lambda a: put_global(a, self._batch_shard)
             return (put(images_u8), put(labels), put(distortions), put(mask), put(camids))
 
         # the reference re-iterates the same loader num_iter times per epoch

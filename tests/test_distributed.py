@@ -168,3 +168,83 @@ def test_two_process_feature_extraction(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
     assert all("cross-process extraction OK" in o for o in outs)
+
+
+_TRAIN_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, {repo!r})
+from daliid_tpu.parallel.distributed import initialize_multihost
+
+initialize_multihost(coordinator_address={coord!r}, num_processes=2,
+                     process_id=int(sys.argv[1]))
+assert jax.process_count() == 2
+
+import jax.numpy as jnp
+import numpy as np
+
+from daliid_tpu.data.registry import parse_market_duke_dir
+from daliid_tpu.models.factory import ModelBundle
+from daliid_tpu.models.resnet import ResNet50ReID
+from daliid_tpu.train.sampler import PKBatchSampler
+from daliid_tpu.train.trainer import Trainer
+
+root = {root!r}
+train = parse_market_duke_dir(os.path.join(root, "bounding_box_train"))
+
+def bundle(seed):
+    m = ResNet50ReID(stage_sizes=(1, 1, 1, 1))
+    v = m.init({{"params": jax.random.key(seed)}}, jnp.zeros((1, 32, 16, 3)), train=False)
+    return ModelBundle(module=m, variables=v, feature_dim=2048, name="tiny")
+
+online = bundle(0)
+momentum = ModelBundle(module=online.module,
+                       variables=jax.tree.map(jnp.copy, online.variables),
+                       feature_dim=2048, name="tiny")
+sampler = PKBatchSampler(train, train.pids, P=2, K=2, kind_of_transform=0, seed=0)
+trainer = Trainer(online, momentum, sampler, img_size=(32, 16), num_epochs=2,
+                  base_lr=1e-3, compute_dtype=jnp.float32, extractor_batch=8,
+                  decode_workers=2)
+metrics = trainer.train_epoch(1)
+assert np.isfinite(metrics["loss"]), metrics
+print(f"proc{{jax.process_index()}}: sharded train epoch OK loss={{metrics['loss']:.6f}}")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_train_epoch(tmp_path):
+    """One full sharded train epoch (mining + augmented steps + EMA) across
+    two processes: the mesh spans both hosts' devices, batches are staged
+    with per-process shard contribution, and both processes converge to the
+    same loss (implicit gradient all-reduce over DCN)."""
+    from daliid_tpu.data import make_synthetic_dataset
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "ds")
+    make_synthetic_dataset(root, num_ids=4, imgs_per_id_train=3, imgs_per_id_test=2,
+                           height=32, width=16, with_turbulence=False)
+    coord = f"127.0.0.1:{_free_port()}"
+    code = _TRAIN_WORKER.format(repo=repo, coord=coord, root=root)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=2"])
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
+    losses = [o.split("loss=")[1].split()[0] for o in outs]
+    assert losses[0] == losses[1], losses  # same global state on both hosts
