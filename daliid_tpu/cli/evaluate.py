@@ -63,6 +63,11 @@ def build_argparser() -> argparse.ArgumentParser:
         help="SIE camera-embedding table size for TransReID backbones "
              "(cfg.MODEL.SIE_CAMERA equivalent; must match the checkpoint)",
     )
+    p.add_argument(
+        "--sie_coef", type=float, default=1.5,
+        help="SIE embedding scale (sie_xishu, vit_pytorch.py:453,461; must "
+             "match the checkpoint's training value)",
+    )
     add_multihost_flags(p)
     return p
 
@@ -102,6 +107,7 @@ def main(args):
     bundle = load_bundle(
         args.model_name, args.model_path, img_size, dtype,
         sie_cameras=getattr(args, "sie_cameras", 0),
+        sie_coef=getattr(args, "sie_coef", 1.5),
     )
     extractor = FeatureExtractor(bundle, img_size=img_size, batch_size=args.batch_size)
 

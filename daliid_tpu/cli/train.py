@@ -83,6 +83,11 @@ def build_argparser() -> argparse.ArgumentParser:
         help="SIE camera-embedding table for TransReID backbones; "
              "-1 = one entry per training camera (cfg.MODEL.SIE_CAMERA)",
     )
+    p.add_argument(
+        "--sie_coef", type=float, default=1.5,
+        help="SIE embedding scale (sie_xishu, vit_pytorch.py:453,461; "
+             "cfg.MODEL.SIE_COE equivalent)",
+    )
     # multi-host (DCN) bootstrap: run the SAME command on every host
     add_multihost_flags(p)
     return p
@@ -118,6 +123,7 @@ def config_from_args(args) -> TrainConfig:
         margin_s=args.cosine_scale,
         margin_m=args.cosine_margin,
         sie_cameras=args.sie_cameras,
+        sie_coef=args.sie_coef,
     )
 
 
@@ -189,6 +195,7 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
     online, momentum = build_model_pair(
         cfg.model_name, jax.random.key(cfg.seed), img_size=cfg.img_size, dtype=dtype,
         num_classes=num_classes, id_loss_type=cfg.id_loss_type, sie_cameras=sie_cameras,
+        sie_coef=cfg.sie_coef,
         margin_s=cfg.margin_s, margin_m=cfg.margin_m,
     )
     if cfg.model_path:

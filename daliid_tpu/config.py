@@ -37,6 +37,9 @@ class TrainConfig:
     margin_m: float | None = None         # cfg.SOLVER.COSINE_MARGIN
     sie_cameras: int = 0                  # SIE camera table (cfg.MODEL.
                                           # SIE_CAMERA); -1 = #train cameras
+    sie_coef: float = 1.5                 # SIE scale (sie_xishu factory
+                                          # default, vit_pytorch.py:453,461;
+                                          # cfg.MODEL.SIE_COE)
 
     # sampler
     P: int = 16                           # mainKIT.py:326

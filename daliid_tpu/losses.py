@@ -141,6 +141,31 @@ def l2_center_loss(batch_fvs, batch_labels, centers, sample_mask=None):
     return jnp.sum(d2 * sample_mask) / jnp.maximum(jnp.sum(sample_mask), 1)
 
 
+def _proxy_positive_bound(proxy_labels, p_max: int | None) -> int:
+    """Resolve the static per-class positive bound for the proxy losses.
+
+    With ``p_max`` given, trust the caller (the trainer passes its exact
+    ``num_proxies``). Otherwise default to ``min(Np, 64)`` — and when
+    ``proxy_labels`` is a concrete array (not a jit tracer), verify no class
+    exceeds the bound, raising instead of silently truncating positives.
+    """
+    if p_max is not None:
+        return int(p_max)
+    default = int(proxy_labels.shape[0]) if proxy_labels.shape[0] < 64 else 64
+    if not isinstance(proxy_labels, jax.core.Tracer):
+        lbl = np.asarray(proxy_labels)
+        valid = lbl[lbl >= 0]
+        if valid.size:
+            max_count = int(np.bincount(valid).max())
+            if max_count > default:
+                raise ValueError(
+                    f"a class owns {max_count} proxies but the static positive bound is "
+                    f"{default}: positives would be silently truncated. Pass "
+                    f"p_max={max_count} (the trainer forwards its num_proxies)."
+                )
+    return default
+
+
 def weighted_proxy_loss(
     batch_fvs: jnp.ndarray,           # (B, D), L2-normalized
     batch_labels: jnp.ndarray,        # (B,) int class ids
@@ -151,6 +176,7 @@ def weighted_proxy_loss(
     num_epochs: float,
     tau: float = 0.1,
     sample_mask: jnp.ndarray | None = None,
+    p_max: int | None = None,
 ):
     """Distortion-weighted hard-negative proxy softmax.
 
@@ -165,6 +191,14 @@ def weighted_proxy_loss(
     are at most ``P_max = max proxies per class``; we take a static top-P_max
     of the negatives and mask the tail ``j >= k_i`` — numerically identical
     to the reference's ragged computation.
+
+    ``p_max`` is that static bound. The trainer passes its ``num_proxies``
+    (exact, and much cheaper than the default — top_k with k=5 instead of
+    64). When omitted, the bound defaults to ``min(Np, 64)`` and — on
+    concrete (non-traced) ``proxy_labels`` — the call **raises** if any class
+    owns more proxies than the bound rather than silently truncating the
+    positive set (contrast ``positive_columns``'s loud check,
+    ``metrics/ranking.py``).
     """
     if sample_mask is None:
         sample_mask = jnp.ones(batch_fvs.shape[0], dtype=bool)
@@ -174,9 +208,8 @@ def weighted_proxy_loss(
     is_pos = (proxy_labels[None, :] == batch_labels[:, None]) & (proxy_labels[None, :] >= 0)
     is_neg = (proxy_labels[None, :] != batch_labels[:, None]) & (proxy_labels[None, :] >= 0)
 
-    # Static bound on per-class proxy count: infer from the densest class.
     num_pos = is_pos.sum(axis=1)  # (B,) traced values, k_i
-    p_max = int(proxies.shape[0]) if proxies.shape[0] < 64 else 64
+    p_max = _proxy_positive_bound(proxy_labels, p_max)
     # Positive slots: top-P_max positive similarities (there are exactly k_i,
     # padding gets -inf → masked out below).
     pos_sims = jnp.where(is_pos, sim, -jnp.inf)
@@ -199,14 +232,14 @@ def weighted_proxy_loss(
     return jnp.sum(w * per_sample) / jnp.maximum(jnp.sum(w), _EPS)
 
 
-def proxy_loss(batch_fvs, batch_labels, proxies, proxy_labels, top_negs=50, tau=0.1):
+def proxy_loss(batch_fvs, batch_labels, proxies, proxy_labels, top_negs=50, tau=0.1, p_max=None):
     """Unweighted proxy softmax with a fixed ``top_negs`` hardest negatives
     (``BatchProxyLoss``, ``losses.py:238-270``)."""
     sim = jnp.dot(batch_fvs, proxies.T, preferred_element_type=jnp.float32)
     is_pos = (proxy_labels[None, :] == batch_labels[:, None]) & (proxy_labels[None, :] >= 0)
     is_neg = (proxy_labels[None, :] != batch_labels[:, None]) & (proxy_labels[None, :] >= 0)
     num_pos = is_pos.sum(axis=1)
-    p_max = min(int(proxies.shape[0]), 64)
+    p_max = _proxy_positive_bound(proxy_labels, p_max)
 
     pos_top = jax.lax.top_k(jnp.where(is_pos, sim, -jnp.inf), p_max)[0]
     neg_top = jax.lax.top_k(jnp.where(is_neg, sim, -jnp.inf), min(top_negs, proxies.shape[0]))[0]

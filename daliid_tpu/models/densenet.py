@@ -13,9 +13,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from daliid_tpu.models.norm import TorchBatchNorm
+
 
 def _bn(train, dtype, name):
-    return nn.BatchNorm(
+    return TorchBatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype, name=name
     )
 
@@ -82,7 +84,7 @@ class DenseNet121ReID(nn.Module):
         pooled = jnp.mean(x, axis=(1, 2)) + jnp.max(x, axis=(1, 2))
         pooled = jnp.concatenate([pooled, pooled], axis=1)  # 1024 → 2048, Encoders.py:627
         pooled = pooled.astype(jnp.float32)
-        out = nn.BatchNorm(
+        out = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name="last_bn",
         )(pooled)

@@ -12,9 +12,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from daliid_tpu.models.norm import TorchBatchNorm
+
 
 def _bn(train, dtype, name):
-    return nn.BatchNorm(
+    return TorchBatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-3, dtype=dtype, name=name
     )
 
@@ -111,7 +113,7 @@ class EfficientNetB0ReID(nn.Module):
         gap = jnp.mean(x, axis=(1, 2))
         gmp = jnp.max(x, axis=(1, 2))
         pooled = {"gap": gap, "gmp": gmp}.get(self.feature, gap + gmp).astype(jnp.float32)
-        return nn.BatchNorm(
+        return TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name="last_bn",
         )(pooled)

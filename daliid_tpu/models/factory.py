@@ -21,7 +21,12 @@ from daliid_tpu.models.efficientnet import EfficientNetB0ReID
 from daliid_tpu.models.inception import InceptionV3ReID
 from daliid_tpu.models.osnet import OSNetReID
 from daliid_tpu.models.resnet import DualResNet50ReID, ResNet50ReID
-from daliid_tpu.models.vit import transreid_base, vit_base_reid, vit_small_reid
+from daliid_tpu.models.vit import (
+    deit_small_reid,
+    transreid_base,
+    vit_base_reid,
+    vit_small_reid,
+)
 
 
 @dataclasses.dataclass
@@ -121,28 +126,41 @@ def _vit(dtype=jnp.float32, img_size=(256, 128), **kw):
 
 @register_model("vit_small")
 def _vit_small(dtype=jnp.float32, img_size=(256, 128), **kw):
+    """Reference-exact vit_small (vit_pytorch.py:461-468): 768/8/8, mlp 3,
+    no qkv bias, qk_scale 768^-0.5."""
     m = vit_small_reid(dtype=dtype, img_size=tuple(img_size))
+    return m, 768
+
+
+@register_model("deit_small")
+def _deit_small(dtype=jnp.float32, img_size=(256, 128), **kw):
+    """DeiT-small shape (vit_pytorch.py:470-476)."""
+    m = deit_small_reid(dtype=dtype, img_size=tuple(img_size))
     return m, 384
 
 
 @register_model("transreid_jpm")
 def _transreid_jpm(dtype=jnp.float32, img_size=(256, 128), sie_cameras=0, sie_views=0,
-                   num_classes=0, id_loss_type="softmax", margin_s=None, margin_m=None,
-                   **kw):
+                   sie_coef=1.5, num_classes=0, id_loss_type="softmax", margin_s=None,
+                   margin_m=None, **kw):
     """TransReID with the jigsaw patch module (make_models.py:221-389)."""
     from daliid_tpu.models.transreid_jpm import TransReIDJPM
 
     m = TransReIDJPM(
         img_size=tuple(img_size), sie_cameras=sie_cameras, sie_views=sie_views,
-        num_classes=num_classes, id_loss_type=id_loss_type,
+        sie_coef=sie_coef, num_classes=num_classes, id_loss_type=id_loss_type,
         margin_s=margin_s, margin_m=margin_m, dtype=dtype,
     )
     return m, 5 * 768
 
 
 @register_model("transreid")
-def _transreid(dtype=jnp.float32, img_size=(256, 128), sie_cameras=0, sie_views=0, **kw):
-    m = transreid_base(img_size=tuple(img_size), sie_cameras=sie_cameras, sie_views=sie_views, dtype=dtype)
+def _transreid(dtype=jnp.float32, img_size=(256, 128), sie_cameras=0, sie_views=0,
+               sie_coef=1.5, **kw):
+    m = transreid_base(
+        img_size=tuple(img_size), sie_cameras=sie_cameras, sie_views=sie_views,
+        sie_coef=sie_coef, dtype=dtype,
+    )
     return m, 768
 
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from daliid_tpu.models.norm import TorchBatchNorm
+
 
 class BasicConv(nn.Module):
     features: int
@@ -29,7 +31,7 @@ class BasicConv(nn.Module):
             self.features, self.kernel, strides=(self.stride, self.stride),
             padding=pad, use_bias=False, dtype=self.dtype, name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-3, dtype=self.dtype, name="bn"
         )(x)
         return nn.relu(x)
@@ -171,7 +173,7 @@ class InceptionV3ReID(nn.Module):
         gap = jnp.mean(x, axis=(1, 2))
         gmp = jnp.max(x, axis=(1, 2))
         pooled = {"gap": gap, "gmp": gmp}.get(self.feature, gap + gmp).astype(jnp.float32)
-        return nn.BatchNorm(
+        return TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name="last_bn",
         )(pooled)

@@ -25,6 +25,8 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from daliid_tpu.models.norm import TorchBatchNorm
+
 
 class IBN(nn.Module):
     """Instance-Batch Norm: InstanceNorm on the first half of the channels,
@@ -38,7 +40,7 @@ class IBN(nn.Module):
     def __call__(self, x, train: bool = False):
         half = x.shape[-1] // 2
         a = nn.InstanceNorm(epsilon=1e-5, dtype=self.dtype, name="instance")(x[..., :half])
-        b = nn.BatchNorm(
+        b = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="batch"
         )(x[..., half:])
         return jnp.concatenate([a, b], axis=-1)
@@ -57,7 +59,7 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(
+        norm = lambda name: TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name=name
         )
         out_ch = self.planes * self.expansion
@@ -94,7 +96,7 @@ def _resnet_trunk(mod, x, train: bool):
     """
     x = x.astype(mod.dtype)
     x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False, dtype=mod.dtype, name="conv1")(x)
-    x = nn.BatchNorm(
+    x = TorchBatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=mod.dtype, name="bn1"
     )(x)
     # NOTE: no stem ReLU — matches the reference forward (Encoders.py:332-335).
@@ -152,7 +154,7 @@ class ResNet50ReID(nn.Module):
             pooled = gap + gmp  # Encoders.py:341-345
 
         pooled = pooled.astype(jnp.float32)
-        out = nn.BatchNorm(
+        out = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name="last_bn",
         )(pooled)
@@ -188,7 +190,7 @@ class MultiPartResNet50ReID(nn.Module):
 
         def head(f, name):
             pooled = (jnp.mean(f, axis=(1, 2)) + jnp.max(f, axis=(1, 2))).astype(jnp.float32)
-            return nn.BatchNorm(
+            return TorchBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=jnp.float32, name=name,
             )(pooled)
@@ -233,7 +235,7 @@ class MultiViewResNet50ReID(nn.Module):
 
         def head(f, name):
             pooled = (jnp.mean(f, axis=(1, 2)) + jnp.max(f, axis=(1, 2))).astype(jnp.float32)
-            return nn.BatchNorm(
+            return TorchBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=jnp.float32, name=name,
             )(pooled)
@@ -260,7 +262,7 @@ class DualResNet50ReID(nn.Module):
     def __call__(self, x, train: bool = False):
         feats = _resnet_trunk(self, x, train)
         pooled = (jnp.mean(feats, axis=(1, 2)) + jnp.max(feats, axis=(1, 2))).astype(jnp.float32)
-        bn = lambda name: nn.BatchNorm(
+        bn = lambda name: TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name=name
         )
         id_fv = bn("id_bn")(pooled)

@@ -731,7 +731,7 @@ def variables_from_torch(model_name: str, state_dict: Mapping[str, object], *, m
         return resnet_ibn_reid_from_torch(sd)
     if model_name == "resnet101IBN":
         return resnet_ibn_reid_from_torch(sd, stage_sizes=(3, 4, 23, 3))
-    if model_name in ("vit", "vit_small", "transreid"):
+    if model_name in ("vit", "vit_small", "deit_small", "transreid"):
         kw = {}
         if module is not None:
             kw = {"depth": module.depth, "grid_hw": module.grid_hw}
@@ -768,17 +768,37 @@ def variables_to_torch(model_name: str, variables, *, module=None) -> Dict[str, 
         return resnet_ibn_reid_to_torch_keys(variables)
     if model_name == "resnet101IBN":
         return resnet_ibn_reid_to_torch_keys(variables, stage_sizes=(3, 4, 23, 3))
-    if model_name in ("vit", "vit_small"):
-        # these registry names are the reference's ViTReID wrapper over
-        # torchvision vit_b_16 (Encoders.py:767-828) — export its scheme
+    if model_name == "vit":
+        # the reference's ViTReID wrapper over torchvision vit_b_16
+        # (Encoders.py:767-828) — export its scheme. The wrapper retains
+        # torchvision's (unused) classifier head (`self.heads`,
+        # Encoders.py:779); emit zero tensors for it so a default
+        # strict=True load_state_dict succeeds on the reference side.
         kw = {"depth": module.depth} if module is not None else {}
-        return vit_reid_to_torch_keys(variables, wrapper="torchvision", **kw)
+        out = vit_reid_to_torch_keys(variables, wrapper="torchvision", **kw)
+        dim = out["class_token"].shape[-1]
+        out["heads.head.weight"] = np.zeros((1000, dim), np.float32)
+        out["heads.head.bias"] = np.zeros((1000,), np.float32)
+        return out
+    if model_name in ("vit_small", "deit_small"):
+        # reference vit_small/deit_small live under make_models'
+        # build_transformer (`base.*` + `bottleneck`, make_models.py:121-218)
+        kw = {"depth": module.depth} if module is not None else {}
+        return vit_reid_to_torch_keys(variables, wrapper="base", **kw)
     if model_name == "transreid":
         kw = {"depth": module.depth} if module is not None else {}
         return vit_reid_to_torch_keys(variables, **kw)
     if model_name == "transreid_jpm":
         kw = {"depth": module.depth} if module is not None else {}
-        return transreid_jpm_to_torch_keys(variables, **kw)
+        out = transreid_jpm_to_torch_keys(variables, **kw)
+        if module is not None and getattr(module, "id_loss_type", "softmax") != "softmax":
+            # margin checkpoints (arcface/cosface/amsoftmax/circle) carry only
+            # the single margin `classifier` upstream — no classifier_1..4
+            # (make_models.py:262-289); strip ours so strict load succeeds
+            out = {k: v for k, v in out.items()
+                   if not k.startswith(("classifier_1", "classifier_2",
+                                        "classifier_3", "classifier_4"))}
+        return out
     if model_name == "osnet":
         return osnet_reid_to_torch_keys(variables)
     if model_name == "densenet121":

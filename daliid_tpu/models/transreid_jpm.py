@@ -20,6 +20,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from daliid_tpu.models.norm import TorchBatchNorm
+
 from daliid_tpu.models.vit import Block, ViTReID
 
 
@@ -54,7 +56,7 @@ class TransReIDJPM(nn.Module):
     drop_path_rate: float = 0.1
     sie_cameras: int = 0
     sie_views: int = 0
-    sie_coef: float = 3.0
+    sie_coef: float = 1.5  # sie_xishu factory default (vit_pytorch.py:453,461)
     num_classes: int = 0
     divide_length: int = 4      # cfg.MODEL.DEVIDE_LENGTH
     shift_num: int = 5          # cfg.MODEL.SHIFT_NUM
@@ -112,7 +114,7 @@ class TransReIDJPM(nn.Module):
             chunk = rest[:, i * patch_length : (i + 1) * patch_length]
             locals_.append(b2(jnp.concatenate([cls, chunk], axis=1))[:, 0])
 
-        bn = lambda name: nn.BatchNorm(
+        bn = lambda name: TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name=name
         )
         feat = bn("bottleneck")(global_feat)

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from daliid_tpu.models.norm import TorchBatchNorm
+
 
 def drop_path(x, key, rate: float):
     """Per-sample stochastic depth (vit_pytorch.py:45-57)."""
@@ -55,6 +57,9 @@ class Attention(nn.Module):
     """
 
     num_heads: int
+    qkv_bias: bool = True          # vit_small uses False (vit_pytorch.py:463)
+    qk_scale: float | None = None  # None → head_dim**-0.5; vit_small pins
+                                   # 768**-0.5 (vit_pytorch.py:462)
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -62,7 +67,7 @@ class Attention(nn.Module):
     def __call__(self, x, train=False):
         B, N, C = x.shape
         head_dim = C // self.num_heads
-        qkv = nn.Dense(3 * C, use_bias=True, dtype=self.dtype, name="qkv")(x)
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -71,9 +76,16 @@ class Attention(nn.Module):
         if self.use_pallas:
             from daliid_tpu.ops.flash_attention import flash_attention
 
-            out = flash_attention(heads(q), heads(k), heads(v))
+            q = heads(q)
+            if self.qk_scale is not None:
+                # the kernel applies head_dim**-0.5 internally; fold the
+                # custom scale into q so the net factor is qk_scale
+                q = q * (self.qk_scale * head_dim**0.5)
+            out = flash_attention(q, heads(k), heads(v))
         else:
-            out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+            out = jax.nn.dot_product_attention(
+                heads(q), heads(k), heads(v), scale=self.qk_scale
+            )
         out = out.reshape(B, N, C).astype(self.dtype)
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
@@ -84,6 +96,8 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.0
+    qkv_bias: bool = True
+    qk_scale: float | None = None
     use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -92,7 +106,8 @@ class Block(nn.Module):
         C = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = Attention(
-            self.num_heads, use_pallas=self.use_pallas_attention, dtype=self.dtype, name="attn"
+            self.num_heads, qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            use_pallas=self.use_pallas_attention, dtype=self.dtype, name="attn",
         )(y, train)
         if train and self.drop_path_rate > 0.0:
             y = drop_path(y, self.make_rng("droppath"), self.drop_path_rate)
@@ -130,9 +145,13 @@ class ViTReID(nn.Module):
     num_heads: int = 12
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.1   # TransReID default stochastic depth
+    qkv_bias: bool = True
+    qk_scale: float | None = None
     sie_cameras: int = 0          # >0 enables SIE camera embedding
     sie_views: int = 0
-    sie_coef: float = 3.0         # cfg.MODEL.SIE_COE equivalent
+    sie_coef: float = 1.5         # sie_xishu default in every reference
+                                  # factory (vit_pytorch.py:453,461,470);
+                                  # --sie_coef overrides (cfg.MODEL.SIE_COE)
     local_feature: bool = False   # True → return token sequence before the
                                   # last block (TransReID JPM trunk mode,
                                   # vit_pytorch.py:375-404 local_feature path)
@@ -193,6 +212,7 @@ class ViTReID(nn.Module):
         for i in range(run_depth):
             x = Block(
                 self.num_heads, self.mlp_ratio, dprs[i],
+                qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                 use_pallas_attention=self.use_pallas_attention,
                 dtype=self.dtype, name=f"block{i}",
             )(x, train=train)
@@ -203,7 +223,7 @@ class ViTReID(nn.Module):
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         cls_out = x[:, 0].astype(jnp.float32)
-        out = nn.BatchNorm(
+        out = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name="last_bn",
         )(cls_out)
@@ -216,9 +236,19 @@ def vit_base_reid(**kw) -> ViTReID:
 
 
 def vit_small_reid(**kw) -> ViTReID:
-    """ViT-S/16 ReID (vit_pytorch.py:462-468 equivalent: 8 heads, depth 8 in
-    the reference's 'small'; we use the deit-small 384/6/12 shape from
-    vit_pytorch.py:470-476)."""
+    """The reference's `vit_small` shape, exactly
+    (``vit_small_patch16_224_TransReID``, vit_pytorch.py:461-468): embed 768,
+    depth 8, heads 8, mlp_ratio 3, no qkv bias, qk_scale 768^-0.5 — a
+    reference vit_small checkpoint loads unchanged."""
+    return ViTReID(
+        embed_dim=768, depth=8, num_heads=8, mlp_ratio=3.0,
+        qkv_bias=False, qk_scale=768**-0.5, **kw,
+    )
+
+
+def deit_small_reid(**kw) -> ViTReID:
+    """DeiT-small shape (``deit_small_patch16_224_TransReID``,
+    vit_pytorch.py:470-476): embed 384, depth 12, heads 6."""
     return ViTReID(embed_dim=384, depth=12, num_heads=6, **kw)
 
 

@@ -189,6 +189,9 @@ class Trainer:
         lambda_distortion = self.lambda_distortion
         paired = self.paired_batches
         num_epochs = float(self.num_epochs)
+        # exact static positive bound for the proxy loss (and a 12x smaller
+        # top_k than the 64 default at num_proxies=5)
+        num_proxies = self.num_proxies
         optimizer = self.optimizer
         dtype = self.compute_dtype
         mean = jnp.asarray(IMAGENET_MEAN)
@@ -335,7 +338,7 @@ class Trainer:
                 )
                 proxy_loss = L.weighted_proxy_loss(
                     fvs, labels, distortions, proxies, proxy_labels, epoch, num_epochs,
-                    tau=tau, sample_mask=mask,
+                    tau=tau, sample_mask=mask, p_max=num_proxies,
                 )
                 total = center_loss + lambda_proxy * proxy_loss + id_loss
                 if lambda_distortion > 0.0 and paired:

@@ -27,7 +27,7 @@ def data_root(tmp_path_factory):
 
 def _eval_args(data_root, **over):
     base = dict(
-        targets=["Market"], data_root=data_root, model_name="vit_small",
+        targets=["Market"], data_root=data_root, model_name="deit_small",
         model_path=None, img_height=32, img_width=16, batch_size=16,
         compute_dtype="float32", turbulence_dir_path=None, turbulence_strength=None,
         multiple_output=False, mrfuse=False,
@@ -63,8 +63,8 @@ def test_evaluate_cli_multisplit(data_root):
 
 def test_ensemble_cli(data_root):
     args = argparse.Namespace(
-        dataset="Market", data_root=data_root, model_name01="vit_small",
-        model_name02="vit_small", model_path01=None, model_path02=None,
+        dataset="Market", data_root=data_root, model_name01="deit_small",
+        model_name02="deit_small", model_path01=None, model_path02=None,
         img_height=32, img_width=16, batch_size=16, compute_dtype="float32",
     )
     results = ens_cli.main(args)

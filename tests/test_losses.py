@@ -262,3 +262,51 @@ def test_median_triplet_loss_runs(batch):
     fvs, labels, _, _ = batch
     loss = L.median_softmax_triplet_loss(jnp.asarray(fvs), jnp.asarray(labels))
     assert np.isfinite(float(loss))
+
+
+def test_proxy_loss_capacity_guard(rng):
+    """>64 proxies in one class must raise loudly, not silently truncate
+    (VERDICT r2: losses.py p_max cap); an explicit p_max lifts the bound."""
+    import pytest as _pytest
+
+    D = 8
+    n_per = 70  # one class owns 70 proxies — over the 64 default bound
+    proxies = _normalize(rng.normal(size=(2 * n_per, D))).astype(np.float32)
+    proxy_labels = np.repeat([0, 1], n_per).astype(np.int32)
+    fvs = _normalize(rng.normal(size=(6, D))).astype(np.float32)
+    labels = np.array([0, 0, 0, 1, 1, 1], np.int32)
+    dist = np.zeros(6, np.int32)
+
+    with _pytest.raises(ValueError, match="proxies"):
+        L.weighted_proxy_loss(
+            jnp.asarray(fvs), jnp.asarray(labels), jnp.asarray(dist),
+            jnp.asarray(proxies), jnp.asarray(proxy_labels), 5, 25,
+        )
+    with _pytest.raises(ValueError, match="proxies"):
+        L.proxy_loss(
+            jnp.asarray(fvs), jnp.asarray(labels),
+            jnp.asarray(proxies), jnp.asarray(proxy_labels),
+        )
+    # explicit p_max >= the true max count: runs and is finite
+    loss = L.weighted_proxy_loss(
+        jnp.asarray(fvs), jnp.asarray(labels), jnp.asarray(dist),
+        jnp.asarray(proxies), jnp.asarray(proxy_labels), 5, 25, p_max=n_per,
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_weighted_proxy_loss_p_max_matches_default(rng):
+    """Trainer-style explicit p_max == default heuristic bound numerically."""
+    B, C, D, n_prox = 12, 4, 8, 5
+    fvs = _normalize(rng.normal(size=(B, D))).astype(np.float32)
+    labels = rng.integers(0, C, B).astype(np.int32)
+    dist = rng.integers(0, 6, B).astype(np.int32)
+    proxies = _normalize(rng.normal(size=(C * n_prox, D))).astype(np.float32)
+    proxy_labels = np.repeat(np.arange(C), n_prox).astype(np.int32)
+    args = (jnp.asarray(fvs), jnp.asarray(labels), jnp.asarray(dist),
+            jnp.asarray(proxies), jnp.asarray(proxy_labels), 5, 25)
+    np.testing.assert_allclose(
+        float(L.weighted_proxy_loss(*args)),
+        float(L.weighted_proxy_loss(*args, p_max=n_prox)),
+        rtol=1e-6,
+    )

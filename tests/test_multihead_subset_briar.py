@@ -57,7 +57,7 @@ def test_dual_extraction(synth):
 
 def test_mine_subset_one_encoder(synth):
     splits, _ = synth
-    bundle = get_model("vit_small", jax.random.key(0), img_size=IMG)
+    bundle = get_model("deit_small", jax.random.key(0), img_size=IMG)
     ex = FeatureExtractor(bundle, img_size=IMG, batch_size=8)
     train = splits["train"]
     sel, non_sel = mine_subset(train[np.arange(1)], train, [ex], top_k=5)
@@ -68,7 +68,7 @@ def test_mine_subset_one_encoder(synth):
 
 
 def test_build_ensembles_synced():
-    pairs = build_ensembles(jax.random.key(0), names=("vit_small", "vit_small"), img_size=IMG)
+    pairs = build_ensembles(jax.random.key(0), names=("deit_small", "deit_small"), img_size=IMG)
     assert len(pairs) == 2
     for online, momentum in pairs:
         a = jax.tree.leaves(online.variables)[0]

