@@ -56,12 +56,20 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument(
         "--rerank", action="store_true",
         help="k-reciprocal re-ranking before the metrics (the reference "
-             "carries this commented out, evaluate.py:296-301)",
+             "carries this commented out, evaluate.py:296-301). Deliberate "
+             "deviation: query-query/gallery-gallery matrices use cosine "
+             "distance, consistent with the q-g matrix, where the commented "
+             "reference used euclidean (validateModels.py:49-53)",
     )
     p.add_argument(
         "--sie_cameras", type=int, default=0,
         help="SIE camera-embedding table size for TransReID backbones "
              "(cfg.MODEL.SIE_CAMERA equivalent; must match the checkpoint)",
+    )
+    p.add_argument(
+        "--sharded_eval", action="store_true", default=None,
+        help="rank each query shard on its own device (no full distmat on "
+             "one chip; default: automatic on a multi-device mesh)",
     )
     p.add_argument(
         "--sie_coef", type=float, default=1.5,
@@ -133,12 +141,21 @@ def main(args):
         validator = get_validator(
             target, img_size=img_size, batch_size=args.batch_size,
             rerank=getattr(args, "rerank", False),
+            sharded=getattr(args, "sharded_eval", None),
         )
 
         # multi-split protocols (PRCC's 10 gallery splits, ImageNet-as-reid):
         # evaluate every (query set, gallery split) pair and report the mean
         # over gallery splits per query set
         if isinstance(gallery, list) or isinstance(queries, list):
+            if args.multiple_output:
+                # multi-head ensembling is not defined for multi-split
+                # protocols — fail loudly instead of crashing on tuple
+                # features inside the distance matrix (ADVICE r2)
+                raise SystemExit(
+                    f"--multiple_output is not supported on multi-split "
+                    f"targets ({target}); evaluate per head instead"
+                )
             galleries = gallery if isinstance(gallery, list) else [gallery]
             query_sets = queries if isinstance(queries, list) else [queries]
             for qi, qset in enumerate(query_sets):
@@ -146,9 +163,7 @@ def main(args):
                 r1s, maps = [], []
                 for gi, gset in enumerate(galleries):
                     g_fvs = extractor.extract(gset, verbose=False)
-                    cmc, mAP = validator.rank(
-                        validator.reranked_distance_matrix(q_fvs, g_fvs), qset, gset
-                    )
+                    cmc, mAP = validator.rank_features(q_fvs, g_fvs, qset, gset)
                     r1s.append(float(cmc[0]))
                     maps.append(float(mAP))
                 print(
@@ -207,6 +222,15 @@ def main(args):
 
                 fused_sim = mrfuse(*[1.0 - d for d in distmats[:3]])
                 results[target + ":mrfuse"] = report(":mrfuse", 1.0 - np.asarray(fused_sim))
+        elif validator._sharded_active():
+            # SPMD path: distance rows + ranking stay on each query's device
+            # (evaluate_rank_sharded; replaces evaluate.py:291 + rank_cy)
+            cmc, mAP = validator.rank_features(q_fvs, g_fvs, queries, gallery)
+            print(f"[{target}] (sharded) mAP: {mAP:.2%}")
+            for r in (1, 5, 10, 20):
+                if r <= len(cmc):
+                    print(f"[{target}] Rank-{r:<3}: {cmc[r - 1]:.2%}")
+            results[target] = (cmc, mAP)
         else:
             distmat = validator.reranked_distance_matrix(q_fvs, g_fvs, verbose=True)
             results[target] = report("", distmat)

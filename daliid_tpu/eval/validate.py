@@ -22,7 +22,11 @@ import numpy as np
 
 from daliid_tpu.data.registry import ReidTable
 from daliid_tpu.eval.features import FeatureExtractor
-from daliid_tpu.metrics.ranking import cosine_distance_matrix, evaluate_rank_jax
+from daliid_tpu.metrics.ranking import (
+    cosine_distance_matrix,
+    evaluate_rank_jax,
+    evaluate_rank_sharded,
+)
 
 
 def _l2n(x: np.ndarray) -> np.ndarray:
@@ -30,16 +34,39 @@ def _l2n(x: np.ndarray) -> np.ndarray:
 
 
 class Validator:
-    """Standard Market-protocol validation."""
+    """Standard Market-protocol validation.
+
+    ``sharded``: route ranking through :func:`evaluate_rank_sharded` — each
+    device ranks its query shard against the replicated gallery and CMC/AP
+    merge with one ``psum``, so no full (Q, G) distance matrix ever
+    materializes on one device (4.4 GB at DeepChange scale). ``None`` (the
+    default) enables it automatically on a multi-device mesh whenever
+    re-ranking is off; re-ranking inherently needs the full matrices.
+    """
 
     def __init__(self, img_size=(256, 128), batch_size: int = 512, mesh=None, max_rank: int = 50,
-                 rerank: bool = False):
+                 rerank: bool = False, sharded: bool | None = None):
         self.img_size = img_size
         self.batch_size = batch_size
         self.mesh = mesh
         self.max_rank = max_rank
         self.rerank = rerank  # optional k-reciprocal re-ranking
                               # (the commented path at validateModels.py:49-53)
+        self.sharded = sharded
+
+    def _mesh(self):
+        if self.mesh is None:
+            from daliid_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
+        return self.mesh
+
+    def _sharded_active(self) -> bool:
+        if self.rerank:
+            return False
+        if self.sharded is None:
+            return self._mesh().devices.size > 1
+        return bool(self.sharded)
 
     def distance_matrix(self, query_fvs: np.ndarray, gallery_fvs: np.ndarray) -> jnp.ndarray:
         return cosine_distance_matrix(jnp.asarray(query_fvs), jnp.asarray(gallery_fvs))
@@ -48,7 +75,15 @@ class Validator:
         """Distmat with the validator's optional k-reciprocal re-ranking
         applied (the commented path at ``validateModels.py:49-53``) — the
         one place the rerank switch acts, shared by ``validate`` and the
-        eval CLI."""
+        eval CLI.
+
+        Deliberate deviation from the cited reference lines: the qq/gg
+        matrices here are cosine distances, consistent with the q-g matrix,
+        while the reference's commented code mixed euclidean qq/gg into a
+        cosine q-g. On L2-normalized features euclidean is a monotone (sqrt)
+        transform of cosine, so the k-reciprocal NEIGHBOR SETS are identical;
+        only re_ranking's exp(-d) blending weights differ. Consistent-cosine
+        avoids mixing two metrics in one blend."""
         distmat = self.distance_matrix(query_fvs, gallery_fvs)
         if not self.rerank:
             return distmat
@@ -73,9 +108,26 @@ class Validator:
         )
         return np.asarray(cmc), float(mAP)
 
+    def rank_features(self, q_fvs, g_fvs, queries: ReidTable, gallery: ReidTable):
+        """CMC/mAP straight from raw embeddings. On the sharded path the
+        distance rows live only on their query's device
+        (:func:`evaluate_rank_sharded`, the SPMD replacement for
+        ``Person-ReID/evaluate.py:291`` + rank_cy); otherwise the full
+        distmat is built and ranked replicated."""
+        if self._sharded_active():
+            return evaluate_rank_sharded(
+                q_fvs, g_fvs,
+                queries.pids.astype(np.int32), gallery.pids.astype(np.int32),
+                queries.camids.astype(np.int32), gallery.camids.astype(np.int32),
+                mesh=self._mesh(), max_rank=self.max_rank,
+            )
+        return self.rank(self.reranked_distance_matrix(q_fvs, g_fvs), queries, gallery)
+
     def validate(self, queries: ReidTable, gallery: ReidTable, bundle_or_extractor, verbose=True):
         """→ (cmc, mAP, distmat). Accepts a ModelBundle or a reusable
-        FeatureExtractor (compile reuse across epochs)."""
+        FeatureExtractor (compile reuse across epochs). On the sharded path
+        the full distmat is never materialized and ``None`` is returned in
+        its place."""
         extractor = (
             bundle_or_extractor
             if isinstance(bundle_or_extractor, FeatureExtractor)
@@ -85,26 +137,55 @@ class Validator:
         )
         q_fvs = extractor.extract(queries, verbose=verbose)
         g_fvs = extractor.extract(gallery, verbose=verbose)
-        distmat = self.reranked_distance_matrix(q_fvs, g_fvs, verbose=verbose)
-        cmc, mAP = self.rank(distmat, queries, gallery)
+        # multi-head extractions (tuple of embeddings) need per-head distmats
+        if self._sharded_active() and not isinstance(q_fvs, (tuple, list)):
+            cmc, mAP = self.rank_features(q_fvs, g_fvs, queries, gallery)
+            distmat = None
+        else:
+            distmat = self.reranked_distance_matrix(q_fvs, g_fvs, verbose=verbose)
+            cmc, mAP = self.rank(distmat, queries, gallery)
+            distmat = np.asarray(distmat)
         if verbose:
             print(f"** Results ** mAP: {mAP:.2%}")
             for r in (1, 5, 10):
                 print(f"Rank-{r:<3}: {cmc[r - 1]:.2%}")
-        return cmc, mAP, np.asarray(distmat)
+        return cmc, mAP, distmat
 
 
 class BriarValidator(Validator):
-    """BRIAR-style CMC: plain argsort over the distmat, no junk filtering,
-    ranks (1, 5, 10, 20), mAP 0 (``validateModels.py:84-105``)."""
+    """BRIAR-style CMC: no junk filtering, every query counted, ranks
+    (1, 5, 10, 20), mAP 0 (``validateModels.py:84-105``).
+
+    The reference argsorts the full distmat on host (O(Q·G log G)); here the
+    same counting kernel as the Market protocol runs on device with the junk
+    filter off and all-queries averaging (parity vs the host argsort in
+    ``tests/test_multihead_subset_briar.py``), sharded like the base class.
+    """
+
+    RANKS = (1, 5, 10, 20)
 
     def rank(self, distmat, queries: ReidTable, gallery: ReidTable):
-        distmat = np.asarray(distmat)
-        ranked = np.argsort(distmat, axis=1)[:, :20]
-        predicted = gallery.pids[ranked]
-        matching = queries.pids[:, None] == predicted
-        cmc = [float(np.mean(matching[:, :r].sum(axis=1) > 0)) for r in (1, 5, 10, 20)]
-        return np.asarray(cmc), 0.0
+        cmc, _ = evaluate_rank_jax(
+            jnp.asarray(distmat),
+            jnp.asarray(queries.pids.astype(np.int32)),
+            jnp.asarray(gallery.pids.astype(np.int32)),
+            jnp.asarray(queries.camids.astype(np.int32)),
+            jnp.asarray(gallery.camids.astype(np.int32)),
+            max_rank=20, count_all=True, ignore_camera=True,
+        )
+        cmc = np.asarray(cmc)
+        return np.asarray([cmc[r - 1] for r in self.RANKS]), 0.0
+
+    def rank_features(self, q_fvs, g_fvs, queries: ReidTable, gallery: ReidTable):
+        if self._sharded_active():
+            cmc, _ = evaluate_rank_sharded(
+                q_fvs, g_fvs,
+                queries.pids.astype(np.int32), gallery.pids.astype(np.int32),
+                queries.camids.astype(np.int32), gallery.camids.astype(np.int32),
+                mesh=self._mesh(), max_rank=20, count_all=True, ignore_camera=True,
+            )
+            return np.asarray([cmc[r - 1] for r in self.RANKS]), 0.0
+        return self.rank(self.reranked_distance_matrix(q_fvs, g_fvs), queries, gallery)
 
 
 def get_validator(dataset_name: str, **kw) -> Validator:

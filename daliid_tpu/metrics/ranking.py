@@ -160,10 +160,12 @@ def positive_columns(q_pids, g_pids, max_positives: int) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("max_rank", "query_chunk", "g_block"))
+@functools.partial(
+    jax.jit, static_argnames=("max_rank", "query_chunk", "g_block", "count_all")
+)
 def _evaluate_rank_jax(
     distmat, q_cols, q_pids, g_pids, q_camids, g_camids, max_rank, query_chunk,
-    g_block=8192,
+    g_block=8192, count_all=False,
 ):
     num_q = distmat.shape[0]
     q_pids = q_pids.astype(jnp.int32)
@@ -195,9 +197,12 @@ def _evaluate_rank_jax(
     ap = ap.reshape(-1)
     valid = valid.reshape(-1)
 
-    num_valid = jnp.maximum(valid.sum(), 1).astype(jnp.float32)
-    cmc = (cmc_rows * valid[:, None]).sum(axis=0) / num_valid
-    mAP = (ap * valid).sum() / num_valid
+    # count_all: average over every real query (unmatched queries count as
+    # zero rows) — the BRIAR convention (validateModels.py:84-105); default
+    # Market protocol averages over matched queries only.
+    denom = jnp.float32(num_q) if count_all else jnp.maximum(valid.sum(), 1).astype(jnp.float32)
+    cmc = (cmc_rows * valid[:, None]).sum(axis=0) / denom
+    mAP = (ap * valid).sum() / denom
     return cmc, mAP
 
 
@@ -211,6 +216,8 @@ def evaluate_rank_jax(
     query_chunk: int = 512,
     max_positives: int | None = None,
     g_block: int = 8192,
+    count_all: bool = False,
+    ignore_camera: bool = False,
 ):
     """Market-protocol CMC curve + mAP, fully on device.
 
@@ -224,14 +231,22 @@ def evaluate_rank_jax(
     O(query_chunk * num_gallery) regardless of query-set size; within a
     chunk the ranking is the sort-free counting kernel
     (:func:`_rank_chunk_counting`).
+
+    ``ignore_camera`` disables the same-(pid, camid) junk filter (no entry is
+    junk; every same-pid gallery image is a positive) and ``count_all``
+    averages over every query — together they give the BRIAR argsort-CMC
+    semantics (``validateModels.py:84-105``) with the same counting kernel.
     """
     if max_positives is None:
         max_positives = max_positives_bound(g_pids)
     query_chunk = min(query_chunk, max(int(distmat.shape[0]), 1))
     q_cols = positive_columns(np.asarray(q_pids), np.asarray(g_pids), max_positives)
+    if ignore_camera:
+        # camid -1 matches no gallery camera → junk mask all-false
+        q_camids = jnp.full_like(jnp.asarray(q_camids), -1)
     return _evaluate_rank_jax(
         distmat, jnp.asarray(q_cols), q_pids, g_pids, q_camids, g_camids,
-        max_rank, query_chunk, g_block=g_block,
+        max_rank, query_chunk, g_block=g_block, count_all=count_all,
     )
 
 
@@ -244,6 +259,8 @@ def evaluate_rank_sharded(
     g_camids,
     mesh=None,
     max_rank: int = 50,
+    count_all: bool = False,
+    ignore_camera: bool = False,
 ):
     """Fully sharded end-to-end ranking: queries shard over the ``data``
     mesh axis; every device computes its queries' distance rows against the
@@ -253,6 +270,8 @@ def evaluate_rank_sharded(
 
     Takes raw embeddings (normalized internally). Scales to DeepChange-size
     query sets by never materializing the full (Q, G) matrix on one device.
+    ``count_all``/``ignore_camera`` select the BRIAR convention exactly as in
+    :func:`evaluate_rank_jax`.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -269,7 +288,10 @@ def evaluate_rank_sharded(
     pad = (-num_q) % n_dev
     q = np.pad(q, ((0, pad), (0, 0)))
     qp = np.pad(np.asarray(q_pids, np.int32), (0, pad), constant_values=-1)
-    qc = np.pad(np.asarray(q_camids, np.int32), (0, pad), constant_values=-1)
+    if ignore_camera:
+        qc = np.full(num_q + pad, -1, np.int32)  # junk filter disabled
+    else:
+        qc = np.pad(np.asarray(q_camids, np.int32), (0, pad), constant_values=-1)
     gp = np.asarray(g_pids, np.int32)
     gc = np.asarray(g_camids, np.int32)
 
@@ -306,7 +328,7 @@ def evaluate_rank_sharded(
         jnp.asarray(q), jnp.asarray(qcols), jnp.asarray(qp), jnp.asarray(qc),
         jnp.asarray(g), jnp.asarray(gp), jnp.asarray(gc),
     )
-    denom = max(float(n_valid), 1.0)
+    denom = float(num_q) if count_all else max(float(n_valid), 1.0)
     return np.asarray(cmc_sum) / denom, float(ap_sum) / denom
 
 
