@@ -150,30 +150,17 @@ def _draw_scalars(key, batch, height, width, pad, brightness, contrast, saturati
     return jnp.pad(out, ((0, 0), (0, 16 - out.shape[1])))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("pad", "brightness", "contrast", "saturation",
-                     "erase_scale", "erase_ratio", "dtype", "interpret"),
-)
-def fused_augment_batch(
-    images_u8: jnp.ndarray,  # (B, H, W, 3) uint8, bicubic-resized
-    key: jax.Array,
-    pad: int = 10,
-    brightness: float = 0.4,
-    contrast: float = 0.3,
-    saturation: float = 0.4,
-    erase_scale: tuple = (0.05, 0.30),
-    erase_ratio: tuple = (0.3, 3.3),
-    dtype=jnp.bfloat16,
-    interpret: bool | None = None,
+def _augment_core(
+    images_u8: jnp.ndarray,  # (b, H, W, 3) uint8 (local shard)
+    scal: jnp.ndarray,       # (b, 16) f32 per-image scalars (local shard)
+    pad: int,
+    dtype,
+    interpret: bool,
 ):
-    """Drop-in for :func:`daliid_tpu.augment.train_augment.train_augment_batch`
-    (same distributions; ~8x faster on v5e)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    """The pallas_call itself over one device's image block. Scalars are
+    drawn by the caller so the same code serves the single-device jit and
+    the shard_map'd multi-device path (scalars shard with their images)."""
     b, h, w, _ = images_u8.shape
-    scal = _draw_scalars(key, b, h, w, pad, brightness, contrast, saturation,
-                         erase_scale, erase_ratio)
     # Mosaic wants lane/sublane-aligned tiles: pad W*3 to a 128 multiple and
     # H to an 8 multiple; the kernel's validity mask zeroes the padding and
     # we slice it off after.
@@ -208,3 +195,72 @@ def fused_augment_batch(
     )(scal, img2d, jnp.asarray(flip_m), jnp.asarray(gray_m),
       jnp.asarray(mean_v)[None, :], jnp.asarray(std_v)[None, :])
     return out[:, :h, : w * 3].reshape(b, h, w, 3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pad", "brightness", "contrast", "saturation",
+                     "erase_scale", "erase_ratio", "dtype", "interpret"),
+)
+def fused_augment_batch(
+    images_u8: jnp.ndarray,  # (B, H, W, 3) uint8, bicubic-resized
+    key: jax.Array,
+    pad: int = 10,
+    brightness: float = 0.4,
+    contrast: float = 0.3,
+    saturation: float = 0.4,
+    erase_scale: tuple = (0.05, 0.30),
+    erase_ratio: tuple = (0.3, 3.3),
+    dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+):
+    """Drop-in for :func:`daliid_tpu.augment.train_augment.train_augment_batch`
+    (same distributions; ~8x faster on v5e)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, w, _ = images_u8.shape
+    scal = _draw_scalars(key, b, h, w, pad, brightness, contrast, saturation,
+                         erase_scale, erase_ratio)
+    return _augment_core(images_u8, scal, pad, dtype, interpret)
+
+
+def fused_augment_batch_sharded(
+    images_u8: jnp.ndarray,  # (B, H, W, 3) uint8, batch-sharded over 'data'
+    key: jax.Array,
+    mesh,
+    pad: int = 10,
+    brightness: float = 0.4,
+    contrast: float = 0.3,
+    saturation: float = 0.4,
+    erase_scale: tuple = (0.05, 0.30),
+    erase_ratio: tuple = (0.3, 3.3),
+    dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+):
+    """The kernel under a multi-device mesh: per-image scalars are drawn
+    globally (identical stream to the single-device path), then images AND
+    scalars shard over ``data`` and every device runs the kernel on its
+    local block — nothing in the kernel is cross-device, so lifting the
+    old single-device restriction (``train/trainer.py``, VERDICT r2 weak
+    item #1) is pure shard_map plumbing. Output is bit-identical to
+    :func:`fused_augment_batch` on the same key.
+
+    Call from inside jit (the trainer's augment dispatch) or eagerly; the
+    batch must divide the mesh's ``data`` axis (the trainer pads batches to
+    a device multiple already).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, w, _ = images_u8.shape
+    scal = _draw_scalars(key, b, h, w, pad, brightness, contrast, saturation,
+                         erase_scale, erase_ratio)
+    local = functools.partial(_augment_core, pad=pad, dtype=dtype, interpret=interpret)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )(images_u8, scal)

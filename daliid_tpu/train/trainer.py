@@ -201,10 +201,12 @@ class Trainer:
         # the vmapped crop/jitter/erase into the grad program makes XLA
         # schedule it ~5x slower (122 ms vs 25 ms standalone for a 384
         # batch). On TPU the fused Pallas kernel replaces the XLA chain
-        # entirely (2.3 ms vs 25 ms for the same batch).
-        use_pallas_augment = jax.default_backend() == "tpu" and self.mesh.devices.size == 1
+        # entirely (2.3 ms vs 25 ms for the same batch); on a multi-device
+        # mesh it runs shard_map'd per device (nothing in the kernel is
+        # cross-device), so pods keep the kernel win.
+        use_pallas_augment = jax.default_backend() == "tpu"
 
-        if use_pallas_augment:
+        if use_pallas_augment and self.mesh.devices.size == 1:
             from daliid_tpu.ops.fused_augment import fused_augment_batch
 
             @functools.partial(
@@ -214,6 +216,21 @@ class Trainer:
             )
             def augment(images_u8, key):
                 return fused_augment_batch(images_u8, key, dtype=dtype, interpret=False)
+
+        elif use_pallas_augment:
+            from daliid_tpu.ops.fused_augment import fused_augment_batch_sharded
+
+            mesh = self.mesh
+
+            @functools.partial(
+                jax.jit,
+                in_shardings=(self._batch_shard, None),
+                out_shardings=self._batch_shard,
+            )
+            def augment(images_u8, key):
+                return fused_augment_batch_sharded(
+                    images_u8, key, mesh, dtype=dtype, interpret=False
+                )
 
         else:
 

@@ -52,3 +52,109 @@ def test_mrfuse_prefers_confident_matrix(rng):
     lo = np.minimum(np.minimum(s1, s2), s3)
     hi = np.maximum(np.maximum(s1, s2), s3)
     assert np.all(fused >= lo - 1e-5) and np.all(fused <= hi + 1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Literal-oracle parity: the reference's own libmr / Meta_Recognition classes
+# (Person-ReID/evaluate.py:394-627) running under CPU torch (VERDICT r2
+# missing item #3). evaluate.py needs the same torchvision/torchreid stubs as
+# the composed-pipeline oracle, plus a `config.cfg` stand-in and the two
+# stale validateModels names it imports (SURVEY.md §2 notes both).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_mr():
+    import sys
+    import types
+
+    from tests.test_composed_pipeline_oracle import _install_reference_stubs
+
+    _install_reference_stubs()
+    import validateModels
+
+    for stale in ("validateOnDatasets", "validate_with_valSet"):
+        if not hasattr(validateModels, stale):
+            setattr(validateModels, stale, lambda *a, **k: None)
+    if "config" not in sys.modules:
+        cfg_mod = types.ModuleType("config")
+        cfg_mod.cfg = types.SimpleNamespace()
+        sys.modules["config"] = cfg_mod
+    import evaluate as ref_evaluate
+
+    return ref_evaluate
+
+
+@pytest.fixture(scope="module")
+def torch_mod(ref_mr):
+    import torch
+
+    return torch
+
+
+def _lognormal(rng, n, m):
+    return np.exp(rng.normal(0.0, 0.35, size=(n, m))).astype(np.float64)
+
+
+def test_weibull_mle_vs_reference_fit(ref_mr, torch_mod, rng):
+    """weibull_mle vs the literal libmr._fit Newton-Raphson
+    (evaluate.py:531-580) on positive data; fp32-vs-fp64 convergence noise
+    only."""
+    t = torch_mod
+    data = _lognormal(rng, 16, 120)
+    mr = ref_mr.libmr()
+    mr.deviceName = "cpu"
+    params = mr._fit(t.tensor(data).double()).numpy()  # (N, 2) [shape, scale]
+    assert np.isfinite(params).all()
+
+    shape, scale = weibull_mle(jnp.asarray(data.astype(np.float32)))
+    np.testing.assert_allclose(np.asarray(shape), params[:, 0], rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(scale), params[:, 1], rtol=2e-3)
+
+
+@pytest.mark.parametrize("sign", [1, -1])
+def test_fit_tail_wscore_vs_reference(ref_mr, torch_mod, rng, sign):
+    """FitHigh/FitLow + wscore vs the literal implementation
+    (evaluate.py:419-437,463-495)."""
+    t = torch_mod
+    data = rng.normal(1.0, 0.4, size=(6, 300)).astype(np.float64)
+    probe = rng.normal(1.0, 0.6, size=(25, 6)).astype(np.float64)
+    tail = 80
+
+    mr = ref_mr.libmr()
+    if sign == 1:
+        mr.FitHigh(t.tensor(data).double(), tail)
+    else:
+        mr.FitLow(t.tensor(data).double(), tail)
+    ref_w = mr.wscore(t.tensor(probe).double()).numpy()
+    ref_w_rev = mr.wscore(t.tensor(probe).double(), isReversed=True).numpy()
+
+    fit = fit_tail(jnp.asarray(data.astype(np.float32)), tail, sign=sign)
+    mine = np.asarray(wscore(fit, jnp.asarray(probe.astype(np.float32))))
+    mine_rev = np.asarray(
+        wscore(fit, jnp.asarray(probe.astype(np.float32)), reversed_=True)
+    )
+    np.testing.assert_allclose(mine, ref_w, atol=2e-4)
+    np.testing.assert_allclose(mine_rev, ref_w_rev, atol=2e-4)
+
+
+def test_metarec_vs_reference(ref_mr, torch_mod, rng):
+    """metarec weights vs the literal Meta_Recognition.metarec with
+    use_columns=False (evaluate.py:599-608) — the variant mrfuse uses."""
+    t = torch_mod
+    sim = rng.random((60, 35)).astype(np.float64)
+    ref = ref_mr.Meta_Recognition()
+    ref_w = ref.metarec(t.tensor(sim).double(), 20, use_columns=False).numpy()
+    mine = np.asarray(metarec(jnp.asarray(sim.astype(np.float32)), topk=20))
+    np.testing.assert_allclose(mine, ref_w, atol=5e-4)
+
+
+def test_mrfuse_vs_reference(ref_mr, torch_mod, rng):
+    """End-to-end mrfuse parity (evaluate.py:610-627) on three similarity
+    matrices."""
+    t = torch_mod
+    mats = [rng.random((60, 35)).astype(np.float64) for _ in range(3)]
+    ref = ref_mr.Meta_Recognition()
+    ref_fused = ref.mrfuse(*[t.tensor(m).double() for m in mats])
+    mine = np.asarray(mrfuse(*[m.astype(np.float32) for m in mats], topk=20))
+    np.testing.assert_allclose(mine, ref_fused, atol=2e-3)

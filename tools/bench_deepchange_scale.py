@@ -138,10 +138,29 @@ def main():
               f"temps {mem.temp_size_in_bytes / 2**30:.3f} GiB, "
               f"output {mem.output_size_in_bytes / 2**20:.2f} MiB")
 
+    # The user-facing sharded flow (Validator/evaluate CLI route on meshes,
+    # evaluate_rank_sharded): embeddings -> per-device distance rows ->
+    # psum-merged CMC/AP, never materializing the (Q, G) matrix. On this
+    # 1-chip harness it exercises the identical shard_map program a pod runs.
+    from daliid_tpu.metrics.ranking import evaluate_rank_sharded
+    from daliid_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    t0 = time.perf_counter()
+    cmc_sh, map_sh = evaluate_rank_sharded(
+        q_fvs, g_fvs, q_pids, g_pids, q_camids, g_camids, mesh=mesh, max_rank=50
+    )
+    shard_total = time.perf_counter() - t0
+    np.testing.assert_allclose(cmc_sh[:20], cmc_h[:20], atol=2e-5)
+    assert abs(map_sh - map_h) < 2e-5
+    print(f"sharded end-to-end (embeddings -> CMC/mAP, {mesh.devices.size} dev): "
+          f"{shard_total:.2f} s wall incl. compile+transfer; parity OK")
+
     import json
 
     print(json.dumps({
         "distmat_s": dist_s, "rank_warm_s": rank_s,
+        "sharded_total_s": shard_total,
         "r1": float(cmc_h[0]), "map": map_h,
     }))
 
