@@ -39,12 +39,17 @@ def drop_path(x, key, rate: float):
 class Mlp(nn.Module):
     hidden: int
     out: int
+    gelu_approx: bool = False  # tanh-approx GELU: measured +9.7% extraction
+                               # throughput on v5e (erf upcasts to f32 in the
+                               # fc2 fusion) but NOT parity with torch
+                               # nn.GELU — opt-in for from-scratch training
+                               # (BENCH.md §vit)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -98,6 +103,7 @@ class Block(nn.Module):
     drop_path_rate: float = 0.0
     qkv_bias: bool = True
     qk_scale: float | None = None
+    gelu_approx: bool = False
     use_pallas_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -113,7 +119,8 @@ class Block(nn.Module):
             y = drop_path(y, self.make_rng("droppath"), self.drop_path_rate)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        y = Mlp(int(C * self.mlp_ratio), C, dtype=self.dtype, name="mlp")(y, train)
+        y = Mlp(int(C * self.mlp_ratio), C, gelu_approx=self.gelu_approx,
+                dtype=self.dtype, name="mlp")(y, train)
         if train and self.drop_path_rate > 0.0:
             y = drop_path(y, self.make_rng("droppath"), self.drop_path_rate)
         return x + y
@@ -147,6 +154,8 @@ class ViTReID(nn.Module):
     drop_path_rate: float = 0.1   # TransReID default stochastic depth
     qkv_bias: bool = True
     qk_scale: float | None = None
+    gelu_approx: bool = False     # tanh GELU: +9.7% extraction throughput,
+                                  # non-parity numerics (BENCH.md §vit)
     sie_cameras: int = 0          # >0 enables SIE camera embedding
     sie_views: int = 0
     sie_coef: float = 1.5         # sie_xishu default in every reference
@@ -213,6 +222,7 @@ class ViTReID(nn.Module):
             x = Block(
                 self.num_heads, self.mlp_ratio, dprs[i],
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                gelu_approx=self.gelu_approx,
                 use_pallas_attention=self.use_pallas_attention,
                 dtype=self.dtype, name=f"block{i}",
             )(x, train=train)
