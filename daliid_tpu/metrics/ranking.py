@@ -324,10 +324,11 @@ def evaluate_rank_sharded(
             check_vma=False,
         )
     )
-    cmc_sum, ap_sum, n_valid = fn(
-        jnp.asarray(q), jnp.asarray(qcols), jnp.asarray(qp), jnp.asarray(qc),
-        jnp.asarray(g), jnp.asarray(gp), jnp.asarray(gc),
-    )
+    # host numpy straight into the jit: each process passes the same global
+    # arrays and jax materializes only the addressable shards — required for
+    # multi-process meshes (a committed local device array cannot be
+    # resharded onto non-addressable devices), free on one process
+    cmc_sum, ap_sum, n_valid = fn(q, qcols, qp, qc, g, gp, gc)
     denom = float(num_q) if count_all else max(float(n_valid), 1.0)
     return np.asarray(cmc_sum) / denom, float(ap_sum) / denom
 

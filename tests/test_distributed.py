@@ -248,3 +248,79 @@ def test_two_process_train_epoch(tmp_path):
         assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
     losses = [o.split("loss=")[1].split()[0] for o in outs]
     assert losses[0] == losses[1], losses  # same global state on both hosts
+
+
+_RANK_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, {repo!r})
+from daliid_tpu.parallel.distributed import initialize_multihost
+
+initialize_multihost(coordinator_address={coord!r}, num_processes=2,
+                     process_id=int(sys.argv[1]))
+assert jax.process_count() == 2
+
+import numpy as np
+from jax.sharding import Mesh
+
+from daliid_tpu.metrics.ranking import evaluate_rank_numpy, evaluate_rank_sharded
+
+mesh = Mesh(np.array(jax.devices()), ("data",))  # spans both processes
+
+# identical synthetic embeddings on both processes (same seed)
+rng = np.random.default_rng(7)
+NQ, NG, D, IDS = 37, 61, 32, 9
+def make(n):
+    pids = rng.integers(0, IDS, n).astype(np.int32)
+    cams = rng.integers(0, 4, n).astype(np.int32)
+    fvs = (np.eye(IDS, D)[pids] + 0.8 * rng.normal(size=(n, D))).astype(np.float32)
+    return fvs, pids, cams
+q_fvs, q_pids, q_cams = make(NQ)
+g_fvs, g_pids, g_cams = make(NG)
+
+cmc, mAP = evaluate_rank_sharded(
+    q_fvs, g_fvs, q_pids, g_pids, q_cams, g_cams, mesh=mesh, max_rank=10
+)
+
+qn = q_fvs / np.linalg.norm(q_fvs, axis=1, keepdims=True)
+gn = g_fvs / np.linalg.norm(g_fvs, axis=1, keepdims=True)
+cmc_ref, map_ref = evaluate_rank_numpy(
+    1.0 - qn @ gn.T, q_pids, g_pids, q_cams, g_cams, max_rank=10
+)
+np.testing.assert_allclose(cmc, cmc_ref, atol=1e-5)
+assert abs(mAP - map_ref) < 1e-5, (mAP, map_ref)
+print(f"proc{{jax.process_index()}}: cross-process sharded ranking OK mAP={{mAP:.6f}}")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_sharded_ranking(tmp_path):
+    """evaluate_rank_sharded across two OS processes: each host ranks its
+    query shard, CMC/AP merge with a psum riding the (simulated) DCN, and
+    the result equals the single-host numpy oracle — the multi-host leg of
+    the user-facing sharded eval path (VERDICT r2 item #2)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    coord = f"127.0.0.1:{_free_port()}"
+    code = _RANK_WORKER.format(repo=repo, coord=coord)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=2"])
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
+    assert all("cross-process sharded ranking OK" in o for o in outs)
