@@ -44,6 +44,12 @@ class Validator:
     re-ranking is off; re-ranking inherently needs the full matrices.
     """
 
+    # protocol knobs the BRIAR subclass overrides (consumed by rank /
+    # rank_features so the sharded/replicated plumbing lives in ONE place)
+    _count_all = False       # average over matched queries only (Market)
+    _ignore_camera = False   # same-(pid, camid) junk filtering on
+    _report_map = True       # BRIAR reports mAP as 0 (validateModels.py:105)
+
     def __init__(self, img_size=(256, 128), batch_size: int = 512, mesh=None, max_rank: int = 50,
                  rerank: bool = False, sharded: bool | None = None):
         self.img_size = img_size
@@ -98,6 +104,8 @@ class Validator:
         )
 
     def rank(self, distmat, queries: ReidTable, gallery: ReidTable):
+        """→ (cmc curve of length max_rank — index with ``cmc[r-1]`` — ,
+        mAP)."""
         cmc, mAP = evaluate_rank_jax(
             jnp.asarray(distmat),
             jnp.asarray(queries.pids.astype(np.int32)),
@@ -105,8 +113,10 @@ class Validator:
             jnp.asarray(queries.camids.astype(np.int32)),
             jnp.asarray(gallery.camids.astype(np.int32)),
             max_rank=self.max_rank,
+            count_all=self._count_all,
+            ignore_camera=self._ignore_camera,
         )
-        return np.asarray(cmc), float(mAP)
+        return np.asarray(cmc), (float(mAP) if self._report_map else 0.0)
 
     def rank_features(self, q_fvs, g_fvs, queries: ReidTable, gallery: ReidTable):
         """CMC/mAP straight from raw embeddings. On the sharded path the
@@ -115,12 +125,14 @@ class Validator:
         ``Person-ReID/evaluate.py:291`` + rank_cy); otherwise the full
         distmat is built and ranked replicated."""
         if self._sharded_active():
-            return evaluate_rank_sharded(
+            cmc, mAP = evaluate_rank_sharded(
                 q_fvs, g_fvs,
                 queries.pids.astype(np.int32), gallery.pids.astype(np.int32),
                 queries.camids.astype(np.int32), gallery.camids.astype(np.int32),
                 mesh=self._mesh(), max_rank=self.max_rank,
+                count_all=self._count_all, ignore_camera=self._ignore_camera,
             )
+            return np.asarray(cmc), (float(mAP) if self._report_map else 0.0)
         return self.rank(self.reranked_distance_matrix(q_fvs, g_fvs), queries, gallery)
 
     def validate(self, queries: ReidTable, gallery: ReidTable, bundle_or_extractor, verbose=True):
@@ -153,39 +165,25 @@ class Validator:
 
 
 class BriarValidator(Validator):
-    """BRIAR-style CMC: no junk filtering, every query counted, ranks
-    (1, 5, 10, 20), mAP 0 (``validateModels.py:84-105``).
+    """BRIAR-style CMC: no junk filtering, every query counted, mAP 0
+    (``validateModels.py:84-105``; the reference reports ranks 1/5/10/20 —
+    read them at ``cmc[0]/cmc[4]/cmc[9]/cmc[19]`` of the returned curve).
 
     The reference argsorts the full distmat on host (O(Q·G log G)); here the
     same counting kernel as the Market protocol runs on device with the junk
     filter off and all-queries averaging (parity vs the host argsort in
-    ``tests/test_multihead_subset_briar.py``), sharded like the base class.
+    ``tests/test_eval.py``), sharded exactly like the base class — the
+    protocol differences are the three class attributes.
     """
 
-    RANKS = (1, 5, 10, 20)
+    _count_all = True
+    _ignore_camera = True
+    _report_map = False
 
-    def rank(self, distmat, queries: ReidTable, gallery: ReidTable):
-        cmc, _ = evaluate_rank_jax(
-            jnp.asarray(distmat),
-            jnp.asarray(queries.pids.astype(np.int32)),
-            jnp.asarray(gallery.pids.astype(np.int32)),
-            jnp.asarray(queries.camids.astype(np.int32)),
-            jnp.asarray(gallery.camids.astype(np.int32)),
-            max_rank=20, count_all=True, ignore_camera=True,
-        )
-        cmc = np.asarray(cmc)
-        return np.asarray([cmc[r - 1] for r in self.RANKS]), 0.0
-
-    def rank_features(self, q_fvs, g_fvs, queries: ReidTable, gallery: ReidTable):
-        if self._sharded_active():
-            cmc, _ = evaluate_rank_sharded(
-                q_fvs, g_fvs,
-                queries.pids.astype(np.int32), gallery.pids.astype(np.int32),
-                queries.camids.astype(np.int32), gallery.camids.astype(np.int32),
-                mesh=self._mesh(), max_rank=20, count_all=True, ignore_camera=True,
-            )
-            return np.asarray([cmc[r - 1] for r in self.RANKS]), 0.0
-        return self.rank(self.reranked_distance_matrix(q_fvs, g_fvs), queries, gallery)
+    def __init__(self, img_size=(256, 128), batch_size: int = 512, mesh=None,
+                 max_rank: int = 20, rerank: bool = False, sharded: bool | None = None):
+        super().__init__(img_size=img_size, batch_size=batch_size, mesh=mesh,
+                         max_rank=max_rank, rerank=rerank, sharded=sharded)
 
 
 def get_validator(dataset_name: str, **kw) -> Validator:

@@ -50,6 +50,7 @@ def _rank_chunk_counting(
     g_camids: jnp.ndarray,     # (G,) int32
     max_rank: int,
     g_block: int = 8192,
+    ignore_camera: bool = False,
 ):
     """Sort-free CMC/AP: the kept-rank of each positive is the COUNT of
     kept gallery entries ranked before it under the protocol's stable order
@@ -67,14 +68,22 @@ def _rank_chunk_counting(
     """
     B, G = dist_chunk.shape
     same_pid = g_pids[None, :] == q_pids[:, None]
-    junk = same_pid & (g_camids[None, :] == q_camids[:, None])
+    if ignore_camera:
+        # BRIAR convention (validateModels.py:84-105): nothing is junk and
+        # every same-pid gallery image is a positive, whatever its camid
+        junk = jnp.zeros_like(same_pid)
+    else:
+        junk = same_pid & (g_camids[None, :] == q_camids[:, None])
 
     valid_col = q_cols >= 0
     safe = jnp.where(valid_col, q_cols, 0)
     d_cols = jnp.take_along_axis(dist_chunk, safe, axis=1)       # (B, P)
     col_cam = g_camids[safe]                                     # (B, P)
     # same-pid columns minus the query-camera ("junk") ones = positives
-    posmask = valid_col & (col_cam != q_camids[:, None])
+    if ignore_camera:
+        posmask = valid_col
+    else:
+        posmask = valid_col & (col_cam != q_camids[:, None])
     num_rel = posmask.sum(axis=1)
     p = jnp.where(posmask, d_cols, jnp.inf)
     gidx = jnp.where(posmask, safe, jnp.iinfo(jnp.int32).max)
@@ -161,11 +170,12 @@ def positive_columns(q_pids, g_pids, max_positives: int) -> np.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_rank", "query_chunk", "g_block", "count_all")
+    jax.jit,
+    static_argnames=("max_rank", "query_chunk", "g_block", "count_all", "ignore_camera"),
 )
 def _evaluate_rank_jax(
     distmat, q_cols, q_pids, g_pids, q_camids, g_camids, max_rank, query_chunk,
-    g_block=8192, count_all=False,
+    g_block=8192, count_all=False, ignore_camera=False,
 ):
     num_q = distmat.shape[0]
     q_pids = q_pids.astype(jnp.int32)
@@ -189,7 +199,8 @@ def _evaluate_rank_jax(
     def body(args):
         d, cols, qp, qc = args
         return _rank_chunk_counting(
-            d, cols, qp, qc, g_pids, g_camids, max_rank, g_block=g_block
+            d, cols, qp, qc, g_pids, g_camids, max_rank, g_block=g_block,
+            ignore_camera=ignore_camera,
         )
 
     cmc_rows, ap, valid = jax.lax.map(body, (dist_chunks, qcol_chunks, qp_chunks, qc_chunks))
@@ -241,12 +252,10 @@ def evaluate_rank_jax(
         max_positives = max_positives_bound(g_pids)
     query_chunk = min(query_chunk, max(int(distmat.shape[0]), 1))
     q_cols = positive_columns(np.asarray(q_pids), np.asarray(g_pids), max_positives)
-    if ignore_camera:
-        # camid -1 matches no gallery camera → junk mask all-false
-        q_camids = jnp.full_like(jnp.asarray(q_camids), -1)
     return _evaluate_rank_jax(
         distmat, jnp.asarray(q_cols), q_pids, g_pids, q_camids, g_camids,
         max_rank, query_chunk, g_block=g_block, count_all=count_all,
+        ignore_camera=ignore_camera,
     )
 
 
@@ -288,10 +297,7 @@ def evaluate_rank_sharded(
     pad = (-num_q) % n_dev
     q = np.pad(q, ((0, pad), (0, 0)))
     qp = np.pad(np.asarray(q_pids, np.int32), (0, pad), constant_values=-1)
-    if ignore_camera:
-        qc = np.full(num_q + pad, -1, np.int32)  # junk filter disabled
-    else:
-        qc = np.pad(np.asarray(q_camids, np.int32), (0, pad), constant_values=-1)
+    qc = np.pad(np.asarray(q_camids, np.int32), (0, pad), constant_values=-1)
     gp = np.asarray(g_pids, np.int32)
     gc = np.asarray(g_camids, np.int32)
 
@@ -301,10 +307,29 @@ def evaluate_rank_sharded(
         ((0, pad), (0, 0)), constant_values=-1,
     )
 
+    fn = _sharded_rank_fn(mesh, max_rank, ignore_camera)
+    # host numpy straight into the jit: each process passes the same global
+    # arrays and jax materializes only the addressable shards — required for
+    # multi-process meshes (a committed local device array cannot be
+    # resharded onto non-addressable devices), free on one process
+    cmc_sum, ap_sum, n_valid = fn(q, qcols, qp, qc, g, gp, gc)
+    denom = float(num_q) if count_all else max(float(n_valid), 1.0)
+    return np.asarray(cmc_sum) / denom, float(ap_sum) / denom
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_rank_fn(mesh, max_rank: int, ignore_camera: bool):
+    """Compiled shard_map ranking program, cached per (mesh, max_rank,
+    ignore_camera) so per-epoch validation / multi-split evaluation reuse
+    one executable instead of re-tracing each call (jit handles new shapes
+    within a cache entry)."""
+    from jax.sharding import PartitionSpec as P
+
     def local(q_l, qcols_l, qp_l, qc_l, g_r, gp_r, gc_r):
         dist = 1.0 - jnp.dot(q_l, g_r.T, preferred_element_type=jnp.float32)
         cmc_rows, ap, valid = _rank_chunk_counting(
-            dist, qcols_l, qp_l, qc_l, gp_r, gc_r, max_rank
+            dist, qcols_l, qp_l, qc_l, gp_r, gc_r, max_rank,
+            ignore_camera=ignore_camera,
         )
         valid_f = valid.astype(jnp.float32)
         cmc_sum = jnp.sum(cmc_rows * valid_f[:, None], axis=0)
@@ -315,7 +340,7 @@ def evaluate_rank_sharded(
         n_valid = jax.lax.psum(n_valid, "data")
         return cmc_sum, ap_sum, n_valid
 
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(
             local,
             mesh=mesh,
@@ -324,13 +349,6 @@ def evaluate_rank_sharded(
             check_vma=False,
         )
     )
-    # host numpy straight into the jit: each process passes the same global
-    # arrays and jax materializes only the addressable shards — required for
-    # multi-process meshes (a committed local device array cannot be
-    # resharded onto non-addressable devices), free on one process
-    cmc_sum, ap_sum, n_valid = fn(q, qcols, qp, qc, g, gp, gc)
-    denom = float(num_q) if count_all else max(float(n_valid), 1.0)
-    return np.asarray(cmc_sum) / denom, float(ap_sum) / denom
 
 
 def evaluate_rank_numpy(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=50):

@@ -200,11 +200,13 @@ def test_briar_on_device_rank_matches_host_argsort(synth, rng):
 
     bv = BriarValidator(sharded=False)
     bv_sh = BriarValidator()
+    picks = [0, 4, 9, 19]  # the reference's reported ranks within the curve
     for _ in range(3):
         distmat = rng.uniform(size=(len(q), len(g))).astype(np.float32)
         expect = host_argsort_cmc(distmat)
         cmc, mAP = bv.rank(distmat, q, g)
-        np.testing.assert_allclose(cmc, expect, atol=1e-6)
+        assert len(cmc) == 20  # full curve, cmc[r-1] indexable (validate())
+        np.testing.assert_allclose(cmc[picks], expect, atol=1e-6)
         assert mAP == 0.0
     # sharded variant from raw features
     qf = rng.normal(size=(len(q), 32)).astype(np.float32)
@@ -214,4 +216,37 @@ def test_briar_on_device_rank_matches_host_argsort(synth, rng):
     ).T
     assert bv_sh._sharded_active()
     cmc_sh, _ = bv_sh.rank_features(qf, gf, q, g)
-    np.testing.assert_allclose(cmc_sh, host_argsort_cmc(distmat.astype(np.float32)), atol=1e-5)
+    np.testing.assert_allclose(
+        cmc_sh[picks], host_argsort_cmc(distmat.astype(np.float32)), atol=1e-5
+    )
+
+
+def test_briar_validate_end_to_end(synth, tiny_bundle):
+    """The BRIAR validator through the full validate() flow (the path that
+    crashed on the 4-element CMC before r3's review fix): verbose printing
+    indexes cmc[r-1] for r in (1, 5, 10)."""
+    splits, _ = synth
+    bv = BriarValidator(img_size=IMG, batch_size=16)
+    cmc, mAP, _ = bv.validate(splits["query"], splits["gallery"], tiny_bundle, verbose=True)
+    assert len(cmc) == 20 and mAP == 0.0
+    assert np.all(np.diff(cmc) >= -1e-7)
+
+
+def test_ignore_camera_tolerates_negative_camids(rng):
+    """ignore_camera must disable junk filtering STRUCTURALLY, not via a
+    camid sentinel: gallery entries whose real camid is -1 (generic
+    manifests allow arbitrary ints) stay positives."""
+    from daliid_tpu.metrics.ranking import evaluate_rank_jax
+
+    q_pids = np.array([3], np.int32)
+    q_cams = np.array([-1], np.int32)
+    g_pids = np.array([3, 3, 7], np.int32)
+    g_cams = np.array([-1, -1, 2], np.int32)  # matches carry camid -1
+    distmat = np.array([[0.1, 0.2, 0.05]], np.float32)
+    cmc, _ = evaluate_rank_jax(
+        jnp.asarray(distmat), jnp.asarray(q_pids), jnp.asarray(g_pids),
+        jnp.asarray(q_cams), jnp.asarray(g_cams),
+        max_rank=3, count_all=True, ignore_camera=True,
+    )
+    # best match is the pid-7 impostor at 0.05; the pid-3 entries rank 2nd
+    np.testing.assert_allclose(np.asarray(cmc), [0.0, 1.0, 1.0], atol=1e-6)
