@@ -270,6 +270,7 @@ def evaluate_rank_sharded(
     max_rank: int = 50,
     count_all: bool = False,
     ignore_camera: bool = False,
+    query_chunk: int = 512,
 ):
     """Fully sharded end-to-end ranking: queries shard over the ``data``
     mesh axis; every device computes its queries' distance rows against the
@@ -278,12 +279,14 @@ def evaluate_rank_sharded(
     gather-then-Cython flow (``evaluate.py:291`` + ``rank_cy``).
 
     Takes raw embeddings (normalized internally). Scales to DeepChange-size
-    query sets by never materializing the full (Q, G) matrix on one device.
-    ``count_all``/``ignore_camera`` select the BRIAR convention exactly as in
-    :func:`evaluate_rank_jax`.
+    query sets by never materializing the full (Q, G) matrix on one device:
+    each device additionally chunks ITS shard ``query_chunk`` rows at a time
+    (``lax.map``, same scheme as :func:`evaluate_rank_jax`), so peak HBM is
+    O(query_chunk · num_gallery) however lopsided the query/device ratio —
+    a 1-chip mesh ranks the full 17.5k x 63k protocol in bounded memory.
+    ``count_all``/``ignore_camera`` select the BRIAR convention exactly as
+    in :func:`evaluate_rank_jax`.
     """
-    from jax.sharding import PartitionSpec as P
-
     from daliid_tpu.parallel.mesh import make_mesh
 
     mesh = mesh if mesh is not None else make_mesh()
@@ -307,7 +310,7 @@ def evaluate_rank_sharded(
         ((0, pad), (0, 0)), constant_values=-1,
     )
 
-    fn = _sharded_rank_fn(mesh, max_rank, ignore_camera)
+    fn = _sharded_rank_fn(mesh, max_rank, ignore_camera, query_chunk)
     # host numpy straight into the jit: each process passes the same global
     # arrays and jax materializes only the addressable shards — required for
     # multi-process meshes (a committed local device array cannot be
@@ -318,26 +321,50 @@ def evaluate_rank_sharded(
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_rank_fn(mesh, max_rank: int, ignore_camera: bool):
+def _sharded_rank_fn(mesh, max_rank: int, ignore_camera: bool, query_chunk: int):
     """Compiled shard_map ranking program, cached per (mesh, max_rank,
-    ignore_camera) so per-epoch validation / multi-split evaluation reuse
-    one executable instead of re-tracing each call (jit handles new shapes
-    within a cache entry)."""
+    ignore_camera, query_chunk) so per-epoch validation / multi-split
+    evaluation reuse one executable instead of re-tracing each call (jit
+    handles new shapes within a cache entry)."""
     from jax.sharding import PartitionSpec as P
 
     def local(q_l, qcols_l, qp_l, qc_l, g_r, gp_r, gc_r):
-        dist = 1.0 - jnp.dot(q_l, g_r.T, preferred_element_type=jnp.float32)
-        cmc_rows, ap, valid = _rank_chunk_counting(
-            dist, qcols_l, qp_l, qc_l, gp_r, gc_r, max_rank,
-            ignore_camera=ignore_camera,
+        n_local = q_l.shape[0]
+        chunk = min(query_chunk, max(n_local, 1))
+        cpad = (-n_local) % chunk
+        # padded rows: pid -1 / cols -1 → zero positives → valid False
+        q_p = jnp.pad(q_l, ((0, cpad), (0, 0)))
+        cols_p = jnp.pad(qcols_l, ((0, cpad), (0, 0)), constant_values=-1)
+        qp_p = jnp.pad(qp_l, (0, cpad), constant_values=-1)
+        qc_p = jnp.pad(qc_l, (0, cpad), constant_values=-1)
+        n_chunks = q_p.shape[0] // chunk
+
+        def body(args):
+            q_c, cols_c, qp_c, qc_c = args
+            dist = 1.0 - jnp.dot(q_c, g_r.T, preferred_element_type=jnp.float32)
+            cmc_rows, ap, valid = _rank_chunk_counting(
+                dist, cols_c, qp_c, qc_c, gp_r, gc_r, max_rank,
+                ignore_camera=ignore_camera,
+            )
+            valid_f = valid.astype(jnp.float32)
+            return (
+                jnp.sum(cmc_rows * valid_f[:, None], axis=0),
+                jnp.sum(ap * valid_f),
+                jnp.sum(valid_f),
+            )
+
+        cmc_c, ap_c, nv_c = jax.lax.map(
+            body,
+            (
+                q_p.reshape(n_chunks, chunk, -1),
+                cols_p.reshape(n_chunks, chunk, -1),
+                qp_p.reshape(n_chunks, chunk),
+                qc_p.reshape(n_chunks, chunk),
+            ),
         )
-        valid_f = valid.astype(jnp.float32)
-        cmc_sum = jnp.sum(cmc_rows * valid_f[:, None], axis=0)
-        ap_sum = jnp.sum(ap * valid_f)
-        n_valid = jnp.sum(valid_f)
-        cmc_sum = jax.lax.psum(cmc_sum, "data")
-        ap_sum = jax.lax.psum(ap_sum, "data")
-        n_valid = jax.lax.psum(n_valid, "data")
+        cmc_sum = jax.lax.psum(jnp.sum(cmc_c, axis=0), "data")
+        ap_sum = jax.lax.psum(jnp.sum(ap_c), "data")
+        n_valid = jax.lax.psum(jnp.sum(nv_c), "data")
         return cmc_sum, ap_sum, n_valid
 
     return jax.jit(
