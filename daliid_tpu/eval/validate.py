@@ -5,7 +5,8 @@ Mirrors ``Person-ReID/validateModels.py``:
 - :class:`Validator` = ``validateModels.validate`` (``validateModels.py:35-76``):
   extract → L2-normalize → cosine distmat → Market-protocol CMC/mAP;
 - :class:`BriarValidator` = ``validateBRIAR`` (``validateModels.py:84-105``):
-  top-20 argsort CMC with no camera filtering, mAP reported as 0;
+  CMC with no camera filtering and every query counted, mAP reported as 0 —
+  on device via the same counting kernel (the reference argsorts on host);
 - :func:`get_validator` = ``validationManager.getValidator``
   (``validateModels.py:108-118``);
 - :func:`msmt17_balanced_accuracy` = ``MSMT17_validator.validate_with_valSet``
