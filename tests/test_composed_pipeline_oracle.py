@@ -65,6 +65,7 @@ Runs on the 8-device virtual CPU mesh; marked slow (~4 min).
 
 from __future__ import annotations
 
+import os
 import sys
 import types
 
@@ -75,7 +76,9 @@ import pytest
 
 REF_DIR = "/root/reference/Person-ReID"
 
-SEED = 12
+# DALIID_TEST_SEED soaks the whole oracle (init weights, dataset, sampler,
+# mining streams) under fresh seeds — same knob as the loss parity tests
+SEED = int(os.environ.get("DALIID_TEST_SEED", "12"))
 EPOCHS = 3
 TOTAL_EPOCHS = 25     # loss-schedule horizon (number_of_epoches)
 P, K = 10, 4          # P = all classes -> ONE batch (= one step) per epoch,
