@@ -208,17 +208,17 @@ def test_briar_on_device_rank_matches_host_argsort(synth, rng):
         assert len(cmc) == 20  # full curve, cmc[r-1] indexable (validate())
         np.testing.assert_allclose(cmc[picks], expect, atol=1e-6)
         assert mAP == 0.0
-    # sharded variant from raw features
+    # sharded variant from raw features — compared against the REPLICATED
+    # on-device path on the same embeddings (comparing against a host-numpy
+    # distmat argsort is latently flaky: f32 matmul noise between device and
+    # host flips near-tied ranks; host-argsort parity is covered above where
+    # both sides consume the same host distmat)
     qf = rng.normal(size=(len(q), 32)).astype(np.float32)
     gf = rng.normal(size=(len(g), 32)).astype(np.float32)
-    distmat = 1.0 - (qf / np.linalg.norm(qf, axis=1, keepdims=True)) @ (
-        gf / np.linalg.norm(gf, axis=1, keepdims=True)
-    ).T
     assert bv_sh._sharded_active()
     cmc_sh, _ = bv_sh.rank_features(qf, gf, q, g)
-    np.testing.assert_allclose(
-        cmc_sh[picks], host_argsort_cmc(distmat.astype(np.float32)), atol=1e-5
-    )
+    cmc_rep, _ = bv.rank_features(qf, gf, q, g)
+    np.testing.assert_allclose(cmc_sh, cmc_rep, atol=1e-6)
 
 
 def test_briar_validate_end_to_end(synth, tiny_bundle):
