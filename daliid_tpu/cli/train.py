@@ -57,6 +57,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--path_to_save_metrics", type=str, default="metrics")
     p.add_argument("--version", type=str, default="v0")
     p.add_argument("--eval_freq", type=int, default=5)
+    p.add_argument("--ckpt_freq", type=int, default=1,
+                   help="save a crash-resume checkpoint (full state + RNG) every N "
+                        "epochs under <save_dir>/latest; 0 disables")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--extractor_batch", type=int, default=512)
     p.add_argument("--resume", action="store_true")
@@ -114,6 +117,7 @@ def config_from_args(args) -> TrainConfig:
         lambda_proxy=args.lambda_proxy,
         num_epochs=args.epochs,
         eval_freq=args.eval_freq,
+        ckpt_freq=args.ckpt_freq,
         save_dir=args.path_to_save_models,
         metrics_dir=args.path_to_save_metrics,
         version=args.version,
@@ -237,11 +241,38 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
 
     os.makedirs(cfg.metrics_dir, exist_ok=True)
     ckpt = CheckpointManager(cfg.save_dir)
+    # crash-resume channel: full state+RNG every ckpt_freq epochs, newest kept
+    # (the best-metric manager above only writes on new-best epochs, so alone
+    # it would lose every epoch trained since the last best)
+    latest_ckpt = (
+        CheckpointManager(os.path.join(cfg.save_dir, "latest"), max_to_keep=1, track_best=False)
+        if cfg.ckpt_freq > 0 else None
+    )
     start_epoch = 1
-    if resume and ckpt.latest_step() is not None:
-        trainer.state, last_epoch = ckpt.restore(template_state=trainer.state)
-        start_epoch = last_epoch + 1
-        print(f"Resumed from epoch {last_epoch}")
+    best_r1, best_iter = 0.0, 0
+    if resume:
+        candidates = [
+            (mgr.latest_step(), mgr)
+            for mgr in (ckpt, latest_ckpt)
+            if mgr is not None and mgr.latest_step() is not None
+        ]
+        if candidates:
+            step, mgr = max(candidates, key=lambda c: c[0])
+            trainer.state, last_epoch, rng = mgr.restore(
+                epoch=step, template_state=trainer.state
+            )
+            if rng is not None:
+                # replay the continuous run's random stream exactly
+                # (tests/test_checkpoint.py::test_resume_equivalence)
+                trainer.set_rng_state(rng)
+            start_epoch = last_epoch + 1
+            # carry the best-R1 watermark across the restart so the resumed
+            # run cannot demote the retained best checkpoint
+            best = ckpt.best_step()
+            if best is not None:
+                best_r1 = float(ckpt.metrics(best).get("rank1", 0.0))
+                best_iter = int(best)
+            print(f"Resumed from epoch {last_epoch} (best rank1 {best_r1:.4f} @ {best_iter})")
 
     validator = get_validator(names[0], img_size=cfg.img_size, batch_size=cfg.extractor_batch)
     if not skip_initial_eval:
@@ -249,7 +280,6 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
         trainer.extractor.update_variables(trainer.online_variables())
         validator.validate(queries, gallery, trainer.extractor, verbose=True)
 
-    best_r1, best_iter = 0.0, 0
     progress = []
     t0_pipeline = time.time()
     for epoch in range(start_epoch, cfg.num_epochs + 1):
@@ -275,7 +305,8 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
             r1 = float(max(cmc[0], cmc_m[0]))
             if r1 > best_r1:
                 best_r1, best_iter = r1, epoch
-                ckpt.save(epoch, trainer.state, metrics={"rank1": r1, "mAP": float(mAP)})
+                ckpt.save(epoch, trainer.state, metrics={"rank1": r1, "mAP": float(mAP)},
+                          rng=trainer.rng_state())
                 save_variables(
                     os.path.join(cfg.save_dir, f"model_online_{cfg.model_name}_{cfg.version}.npz"),
                     trainer.online_variables(),
@@ -295,11 +326,16 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
                 json.dump(progress, f, indent=2)
             print(f"Best R1: {best_r1 * 100:.2f} and best iter: {best_iter}")
 
+        if latest_ckpt is not None and epoch % cfg.ckpt_freq == 0:
+            latest_ckpt.save(epoch, trainer.state, rng=trainer.rng_state())
+
     total = time.time() - t0_pipeline
     # phase totals (the reference's accounting prints, mainKIT.py:193-201)
     print(trainer.timer.report())
     print(f"Total pipeline Time: {total:.1f}s ({total / max(cfg.num_epochs - start_epoch + 1, 1):.1f}s/epoch)")
     ckpt.close()
+    if latest_ckpt is not None:
+        latest_ckpt.close()
     return best_r1, best_iter
 
 

@@ -57,6 +57,11 @@ class TrainConfig:
 
     # eval / checkpointing
     eval_freq: int = 5                    # mainKIT.py:344 (no default upstream)
+    ckpt_freq: int = 1                    # crash-resume channel: save the full
+                                          # TrainState+RNG every N epochs under
+                                          # save_dir/latest (0 disables; the
+                                          # reference persists best-metric
+                                          # state_dicts only, mainKIT.py:165-170)
     save_dir: str = "checkpoints"
     metrics_dir: str = "metrics"
     version: str = "v0"

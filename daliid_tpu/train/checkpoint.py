@@ -33,25 +33,51 @@ def _state_to_pytree(state: TrainState) -> Dict[str, Any]:
     }
 
 
+def _zero_rng() -> Dict[str, np.ndarray]:
+    """Fixed-shape placeholder matching :meth:`Trainer.rng_state` (``valid``
+    flags whether real RNG state was captured), so every checkpoint shares
+    one payload structure and templates always line up."""
+    return {
+        "valid": np.zeros((), np.uint8),
+        "key": np.zeros(2, np.uint32),
+        "trainer": np.zeros(6, np.uint64),
+        "sampler": np.zeros(6, np.uint64),
+    }
+
+
 class CheckpointManager:
     """Thin orbax wrapper: numbered steps + a retained best-metric step."""
 
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3, track_best: bool = True):
+        """``track_best=True`` retains the top-``max_to_keep`` steps by rank1
+        (deployment snapshots); ``track_best=False`` retains the newest
+        ``max_to_keep`` steps regardless of metrics (crash-resume channel)."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        opts = dict(max_to_keep=max_to_keep)
+        if track_best:
+            opts.update(best_fn=lambda m: m.get("rank1", 0.0), best_mode="max")
         self._mgr = ocp.CheckpointManager(
-            self.directory,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep,
-                best_fn=lambda m: m.get("rank1", 0.0),
-                best_mode="max",
-            ),
+            self.directory, options=ocp.CheckpointManagerOptions(**opts)
         )
 
-    def save(self, epoch: int, state: TrainState, metrics: Dict[str, float] | None = None):
+    def save(
+        self,
+        epoch: int,
+        state: TrainState,
+        metrics: Dict[str, float] | None = None,
+        rng: Dict[str, np.ndarray] | None = None,
+    ):
+        """``rng`` is :meth:`Trainer.rng_state` — when provided, a resumed
+        run replays the exact random stream of a continuous one."""
+        rng_payload = _zero_rng()
+        if rng is not None:
+            rng_payload.update({k: np.asarray(v) for k, v in rng.items()})
+            rng_payload["valid"] = np.ones((), np.uint8)
         payload = {
             "state": _state_to_pytree(state),
             "epoch": np.asarray(epoch, dtype=np.int64),
+            "rng": rng_payload,
         }
         self._mgr.save(
             epoch,
@@ -61,7 +87,8 @@ class CheckpointManager:
         self._mgr.wait_until_finished()
 
     def restore(self, epoch: int | None = None, template_state: TrainState | None = None):
-        """→ (TrainState, epoch). ``epoch=None`` restores the latest step."""
+        """→ (TrainState, epoch, rng | None). ``epoch=None`` restores the
+        latest step; ``rng`` is None when the checkpoint carried no RNG."""
         step = epoch if epoch is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
@@ -69,6 +96,7 @@ class CheckpointManager:
             template = {
                 "state": _state_to_pytree(template_state),
                 "epoch": np.asarray(0, dtype=np.int64),
+                "rng": _zero_rng(),
             }
             payload = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         else:
@@ -81,7 +109,17 @@ class CheckpointManager:
             momentum_params=s["momentum_params"],
             momentum_batch_stats=s["momentum_batch_stats"],
         )
-        return state, int(payload["epoch"])
+        rng = payload.get("rng")
+        if rng is None or not int(rng["valid"]):
+            rng = None
+        else:
+            rng = {k: np.asarray(v) for k, v in rng.items() if k != "valid"}
+        return state, int(payload["epoch"]), rng
+
+    def metrics(self, step: int) -> Dict[str, float]:
+        """Saved eval metrics for ``step`` (empty if none were recorded)."""
+        m = self._mgr.metrics(step)
+        return dict(m) if m else {}
 
     def best_step(self):
         return self._mgr.best_step()

@@ -44,6 +44,34 @@ from daliid_tpu.train.sampler import PKBatchSampler
 from daliid_tpu.utils.profiling import PhaseTimer
 
 
+_U64 = (1 << 64) - 1
+
+
+def _encode_pcg64(gen: np.random.Generator) -> np.ndarray:
+    """PCG64 generator state → uint64[6] (two 128-bit ints split hi/lo,
+    plus the buffered-uint32 carry), for storage inside a checkpoint."""
+    st = gen.bit_generator.state
+    if st["bit_generator"] != "PCG64":
+        raise ValueError(f"only PCG64 generators are checkpointable, got {st['bit_generator']}")
+    s, inc = st["state"]["state"], st["state"]["inc"]
+    return np.asarray(
+        [s >> 64, s & _U64, inc >> 64, inc & _U64, st["has_uint32"], st["uinteger"]],
+        dtype=np.uint64,
+    )
+
+
+def _decode_pcg64(arr) -> np.random.Generator:
+    a = [int(x) for x in np.asarray(arr, dtype=np.uint64)]
+    gen = np.random.default_rng(0)
+    gen.bit_generator.state = {
+        "bit_generator": "PCG64",
+        "state": {"state": (a[0] << 64) | a[1], "inc": (a[2] << 64) | a[3]},
+        "has_uint32": a[4],
+        "uinteger": a[5],
+    }
+    return gen
+
+
 def lr_schedule_values(base_lr: float, num_epochs: int = 250) -> np.ndarray:
     """Per-epoch LR: 100 epochs at lr, 100 at lr/10, 50 at lr/100, truncated
     or extended to ``num_epochs`` (``mainKIT.py:129-132``)."""
@@ -535,6 +563,24 @@ class Trainer:
             )
             print(f"Mean Final Loss: {means.get('loss', 0):.7f} ({n_batches} batches, lr={lr:g})")
         return means
+
+    # ------------------------------------------------------------------
+    # Host RNG capture/restore, so ``--resume`` replays the exact random
+    # stream a continuous run would have consumed (augmentation keys,
+    # proxy-mining draws, sampler shuffles). The reference cannot do this:
+    # it persists only best-metric state_dicts (mainKIT.py:165-170).
+    def rng_state(self) -> Dict[str, np.ndarray]:
+        """All host-side randomness as fixed-shape arrays (checkpointable)."""
+        return {
+            "key": np.asarray(jax.random.key_data(self._key)),
+            "trainer": _encode_pcg64(self._rng),
+            "sampler": _encode_pcg64(self.sampler._rng),
+        }
+
+    def set_rng_state(self, rng: Dict[str, np.ndarray]) -> None:
+        self._key = jax.random.wrap_key_data(jnp.asarray(rng["key"], jnp.uint32))
+        self._rng = _decode_pcg64(rng["trainer"])
+        self.sampler._rng = _decode_pcg64(rng["sampler"])
 
     # convenience accessors mirroring (online, momentum) model pairs
     def online_variables(self):

@@ -41,10 +41,27 @@ def test_orbax_roundtrip(tmp_path):
     state = _tiny_state()
     mgr = CheckpointManager(str(tmp_path / "ckpt"))
     mgr.save(3, state, metrics={"rank1": 0.5})
-    restored, epoch = mgr.restore(template_state=_tiny_state(seed=1))
+    restored, epoch, rng = mgr.restore(template_state=_tiny_state(seed=1))
     assert epoch == 3
+    assert rng is None  # no RNG was captured at save time
     assert _tree_equal(restored.params, state.params)
     assert _tree_equal(restored.opt_state, state.opt_state)
+    mgr.close()
+
+
+def test_orbax_rng_roundtrip(tmp_path):
+    state = _tiny_state()
+    rng_in = {
+        "key": np.asarray(jax.random.key_data(jax.random.key(7))),
+        "trainer": np.arange(6, dtype=np.uint64),
+        "sampler": np.arange(10, 16, dtype=np.uint64),
+    }
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state, metrics={"rank1": 0.5}, rng=rng_in)
+    _, _, rng_out = mgr.restore(template_state=_tiny_state(seed=1))
+    assert set(rng_out) == set(rng_in)
+    for k in rng_in:
+        assert np.array_equal(np.asarray(rng_out[k]), rng_in[k]), k
     mgr.close()
 
 
@@ -56,7 +73,19 @@ def test_orbax_best_and_latest(tmp_path):
     mgr.save(3, state, metrics={"rank1": 0.6})
     assert mgr.latest_step() == 3
     assert mgr.best_step() == 2
+    assert mgr.metrics(2).get("rank1") == pytest.approx(0.9)
     mgr.close()
+
+
+def test_pcg64_state_roundtrip():
+    from daliid_tpu.train.trainer import _decode_pcg64, _encode_pcg64
+
+    gen = np.random.default_rng(123)
+    gen.standard_normal(17)      # advance, leaving a buffered uint32
+    gen.integers(0, 10, size=3)
+    clone = _decode_pcg64(_encode_pcg64(gen))
+    assert np.array_equal(clone.integers(0, 1 << 62, size=8), gen.integers(0, 1 << 62, size=8))
+    assert np.array_equal(clone.standard_normal(5), gen.standard_normal(5))
 
 
 def test_restore_without_checkpoints_raises(tmp_path):
@@ -64,6 +93,68 @@ def test_restore_without_checkpoints_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         mgr.restore()
     mgr.close()
+
+
+def _resume_trainer(synth_splits, turb):
+    """A fresh tiny trainer over the synthetic set (fixed seeds throughout)."""
+    from daliid_tpu.train.sampler import PKBatchSampler
+    from daliid_tpu.train.trainer import Trainer
+
+    t = synth_splits["train"]
+    m = ViTReID(img_size=IMG, patch_size=8, patch_stride=8, embed_dim=32, depth=1, num_heads=2,
+                drop_path_rate=0.0)
+    v = m.init({"params": jax.random.key(0)}, jnp.zeros((1, *IMG, 3)), train=False)
+    online = ModelBundle(module=m, variables=v, feature_dim=32, name="tiny")
+    momentum = ModelBundle(module=m, variables=jax.tree.map(jnp.copy, v), feature_dim=32,
+                           name="tiny")
+    sampler = PKBatchSampler(t, t.pids, P=3, K=2, kind_of_transform=1, turbulence_dir=turb,
+                             seed=5)
+    return Trainer(online, momentum, sampler, img_size=IMG, num_epochs=4, base_lr=1e-3,
+                   compute_dtype=jnp.float32, extractor_batch=16, beta=0.9, seed=5)
+
+
+def test_resume_equivalence(tmp_path):
+    """save → fresh process-equivalent Trainer → restore → continue must
+    reproduce the continuous run bit-for-bit: model/EMA/optimizer state AND
+    the host RNG streams (augmentation keys, mining draws, sampler shuffles)
+    all round-trip. The reference cannot make this guarantee — it persists
+    only best-metric ``state_dict`` snapshots (``Person-ReID/mainKIT.py:165-170``)."""
+    from daliid_tpu.data import make_synthetic_dataset
+
+    splits, turb = make_synthetic_dataset(
+        str(tmp_path / "data"), num_ids=6, imgs_per_id_train=4, imgs_per_id_test=2,
+        height=IMG[0], width=IMG[1], with_turbulence=True,
+    )
+
+    continuous = _resume_trainer(splits, turb)
+    cont_losses = [continuous.train_epoch(e)["loss"] for e in (1, 2, 3)]
+
+    first = _resume_trainer(splits, turb)
+    first_losses = [first.train_epoch(e)["loss"] for e in (1, 2)]
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(2, first.state, metrics={"rank1": 0.1}, rng=first.rng_state())
+
+    resumed = _resume_trainer(splits, turb)  # stands in for a fresh process
+    resumed.state, last_epoch, rng = mgr.restore(template_state=resumed.state)
+    assert last_epoch == 2 and rng is not None
+    resumed.set_rng_state(rng)
+    resumed_loss3 = resumed.train_epoch(3)["loss"]
+    mgr.close()
+
+    # same-process determinism baseline, then the actual resume guarantee
+    assert first_losses == cont_losses[:2]
+    assert resumed_loss3 == cont_losses[2]
+    for name in ("params", "momentum_params", "batch_stats", "opt_state"):
+        a = jax.device_get(getattr(continuous.state, name))
+        b = jax.device_get(getattr(resumed.state, name))
+        la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            assert np.array_equal(np.asarray(x), np.asarray(y)), name
+    # the RNG streams themselves advanced identically
+    cont_rng, res_rng = continuous.rng_state(), resumed.rng_state()
+    for k in cont_rng:
+        assert np.array_equal(cont_rng[k], res_rng[k]), k
 
 
 def test_npz_weights_roundtrip(tmp_path):

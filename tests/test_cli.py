@@ -116,6 +116,45 @@ def test_train_cli_flag_validation(data_root, tmp_path):
         train_cli.main(cfg(model_name="transreid", sie_cameras="1"))
 
 
+def test_train_cli_crash_resume(data_root, tmp_path, capsys):
+    """The crash-resume channel: with no best-metric checkpoint written yet
+    (eval_freq > epochs), a second invocation with --resume must pick up the
+    per-epoch latest checkpoint and continue from the next epoch instead of
+    restarting at 1 (beyond-reference: mainKIT.py persists best state_dicts
+    only, so an interrupted reference run always restarts cold)."""
+    from daliid_tpu.cli import train as train_cli
+    from daliid_tpu.models.factory import MODEL_REGISTRY, register_model
+    from daliid_tpu.models.vit import ViTReID
+
+    if "tiny_vit_test" not in MODEL_REGISTRY:
+        @register_model("tiny_vit_test")
+        def _tiny(dtype=None, img_size=(32, 16), **kw):
+            return ViTReID(img_size=img_size, patch_size=8, patch_stride=8, embed_dim=32,
+                           depth=1, num_heads=2, drop_path_rate=0.0), 32
+
+    def cfg(epochs):
+        argv = ["--dataset", "Market", "--data_root", data_root,
+                "--img_height", "32", "--img_width", "16",
+                "--model_name", "tiny_vit_test", "--epochs", str(epochs),
+                "--P", "3", "--K", "2", "--eval_freq", "100", "--ckpt_freq", "1",
+                "--kind_of_transform", "0", "--compute_dtype", "float32",
+                "--extractor_batch", "16",
+                "--path_to_save_models", str(tmp_path / "ckpt"),
+                "--path_to_save_metrics", str(tmp_path / "metrics")]
+        return train_cli.config_from_args(train_cli.build_argparser().parse_args(argv))
+
+    train_cli.main(cfg(epochs=2), skip_initial_eval=True)
+    assert os.path.isdir(str(tmp_path / "ckpt" / "latest" / "2"))
+    capsys.readouterr()
+
+    train_cli.main(cfg(epochs=3), resume=True, skip_initial_eval=True)
+    out = capsys.readouterr().out
+    assert "Resumed from epoch 2" in out
+    assert "Iteration number 3/3" in out
+    assert "Iteration number 2/3" not in out  # epochs 1-2 were not re-run
+    assert os.path.isdir(str(tmp_path / "ckpt" / "latest" / "3"))
+
+
 def test_export_cli_round_trip(tmp_path):
     """torch ↔ npz conversion CLI: an npz exported to a torch pickle and
     re-imported must round-trip every leaf bit-exactly."""
