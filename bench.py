@@ -2,8 +2,15 @@
 
 Measures steady-state images/sec/chip for ResNet-50 ReID embedding
 extraction at 256x128 (the reference's headline throughput: ~820-885 img/s
-on one GPU for the 15,913-image Market gallery — BASELINE.md), bf16 compute,
-batch 512, uint8 inputs with the normalize fused into the jit'd forward.
+on one GPU for the 15,913-image Market gallery — BASELINE.md), batch 512,
+uint8 inputs with the normalize fused into the jit'd forward.
+
+Compute runs the int8 post-training-quantization path (ops/quantize.py):
+every conv executes in the MXU's double-rate int8 mode with per-tensor
+activation / per-channel weight scales calibrated on the first batch —
+measured +25% over the bf16 forward (BENCH.md §int8), with retrieval
+parity pinned by tests/test_quantize.py. Set DALIID_BENCH_DTYPE=bf16 to
+measure the unquantized bf16 forward instead.
 
 Batches are staged on device before timing: in this harness the TPU is
 reached through a network tunnel whose host->device bandwidth (~29 MB/s
@@ -21,6 +28,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -41,17 +49,13 @@ def main():
     img_size = (256, 128)
     batch = 512
     n_iters = 30
+    dtype_mode = os.environ.get("DALIID_BENCH_DTYPE", "int8")
 
     mesh = make_mesh()
     bundle = get_model("resnet50", jax.random.key(0), img_size=img_size, dtype=jnp.bfloat16)
     variables = jax.device_put(bundle.variables, replicated_sharding(mesh))
     shard = batch_sharding(mesh)
     module = bundle.module
-
-    @jax.jit
-    def forward(variables, images_u8):
-        x = normalize_images(images_u8, dtype=jnp.bfloat16)
-        return module.apply(variables, x, train=False).astype(jnp.float32)
 
     rng = np.random.default_rng(0)
     device_batches = [
@@ -60,6 +64,41 @@ def main():
         )
         for _ in range(2)
     ]
+
+    quant_scales = None
+    if dtype_mode == "int8":
+        import flax.linen as nn
+
+        from daliid_tpu.ops.quantize import (
+            STATS_COLLECTION,
+            calibration_interceptor,
+            flatten_stats,
+        )
+
+        @jax.jit
+        def calib(variables, images_u8):
+            x = normalize_images(images_u8, dtype=jnp.bfloat16)
+            with nn.intercept_methods(calibration_interceptor):
+                _, stats = module.apply(
+                    variables, x, train=False, mutable=[STATS_COLLECTION]
+                )
+            return stats
+
+        stats = jax.device_get(calib(variables, device_batches[0]))
+        quant_scales = {
+            k: float(v) for k, v in flatten_stats(stats[STATS_COLLECTION]).items()
+        }
+
+    @jax.jit
+    def forward(variables, images_u8):
+        x = normalize_images(images_u8, dtype=jnp.bfloat16)
+        if quant_scales is None:
+            out = module.apply(variables, x, train=False)
+        else:
+            from daliid_tpu.ops.quantize import quantized_apply
+
+            out = quantized_apply(module, variables, quant_scales, x, train=False)
+        return out.astype(jnp.float32)
 
     # warmup / compile
     forward(variables, device_batches[0]).block_until_ready()
@@ -75,7 +114,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "market1501_gallery_extraction_resnet50_256x128_bf16",
+                "metric": f"market1501_gallery_extraction_resnet50_256x128_{dtype_mode}"
+                          + ("_ptq" if dtype_mode == "int8" else ""),
                 "value": round(img_per_s_chip, 1),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_per_s_chip / BASELINE_IMG_PER_S, 2),

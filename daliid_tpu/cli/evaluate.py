@@ -76,6 +76,12 @@ def build_argparser() -> argparse.ArgumentParser:
         help="SIE embedding scale (sie_xishu, vit_pytorch.py:453,461; must "
              "match the checkpoint's training value)",
     )
+    p.add_argument(
+        "--quantize", type=str, default=None, choices=["int8"],
+        help="post-training quantization for extraction: every conv runs "
+             "int8 on the MXU's double-rate mode, calibrated on the first "
+             "batch (ops/quantize.py; beyond-reference)",
+    )
     add_multihost_flags(p)
     return p
 
@@ -117,7 +123,10 @@ def main(args):
         sie_cameras=getattr(args, "sie_cameras", 0),
         sie_coef=getattr(args, "sie_coef", 1.5),
     )
-    extractor = FeatureExtractor(bundle, img_size=img_size, batch_size=args.batch_size)
+    extractor = FeatureExtractor(
+        bundle, img_size=img_size, batch_size=args.batch_size,
+        quantize=getattr(args, "quantize", None),
+    )
 
     results = {}
     sie_cameras = getattr(args, "sie_cameras", 0)

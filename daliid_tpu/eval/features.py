@@ -57,7 +57,12 @@ class FeatureExtractor:
         mesh=None,
         compute_dtype=jnp.float32,
         decode_workers: int = 16,
+        quantize: str | None = None,
     ):
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+        self.quantize = quantize
+        self.quant_scales = None  # set by calibrate() / first extract batch
         self.bundle = bundle
         self.img_size = tuple(img_size)
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -85,31 +90,75 @@ class FeatureExtractor:
             type(module).__call__
         ).parameters
 
+        self._module = module
+        self._forward = self._build_forward()
+
+    def _build_forward(self, quant_scales=None):
+        """The jit'd sharded forward; with ``quant_scales`` every calibrated
+        conv runs int8 on the MXU's double-rate mode (ops/quantize.py)."""
+        module, compute_dtype = self._module, self.compute_dtype
+
+        def apply_model(variables, x, camera_ids):
+            kwargs = {"camera_ids": camera_ids} if self._takes_camera_ids else {}
+            if quant_scales is None:
+                return module.apply(variables, x, train=False, **kwargs)
+            from daliid_tpu.ops.quantize import quantized_apply
+
+            return quantized_apply(module, variables, quant_scales, x, train=False, **kwargs)
+
+        @functools.partial(jax.jit, out_shardings=self._batch_shard)
+        def forward(variables, images_u8, camera_ids=None):
+            x = normalize_images(images_u8, dtype=compute_dtype)
+            feats = apply_model(variables, x, camera_ids)
+            # models may return a tuple of heads (multipart / dual /
+            # multiview, getFeatures.py:110-241) — cast every leaf
+            return jax.tree.map(lambda f: f.astype(jnp.float32), feats)
+
+        return forward
+
+    def calibrate(self, images_u8: np.ndarray, camera_ids=None) -> None:
+        """Int8 calibration on one representative uint8 batch: records each
+        conv input's absmax and rebuilds the forward with the quantized
+        interceptor. Called automatically on the first extract batch when
+        ``quantize='int8'``."""
+        from daliid_tpu.ops.quantize import (
+            STATS_COLLECTION,
+            calibration_interceptor,
+            flatten_stats,
+        )
+
+        module, compute_dtype = self._module, self.compute_dtype
+        import flax.linen as nn
+
+        @jax.jit
+        def calib(variables, images_u8, camera_ids=None):
+            x = normalize_images(images_u8, dtype=compute_dtype)
+            kwargs = {"camera_ids": camera_ids} if self._takes_camera_ids else {}
+            with nn.intercept_methods(calibration_interceptor):
+                _, stats = module.apply(
+                    variables, x, train=False, mutable=[STATS_COLLECTION], **kwargs
+                )
+            return stats
+
+        args = (self._variables, put_global(np.asarray(images_u8, np.uint8), self._batch_shard))
         if self._takes_camera_ids:
-
-            @functools.partial(jax.jit, out_shardings=self._batch_shard)
-            def forward(variables, images_u8, camera_ids):
-                x = normalize_images(images_u8, dtype=compute_dtype)
-                feats = module.apply(variables, x, camera_ids=camera_ids, train=False)
-                return jax.tree.map(lambda f: f.astype(jnp.float32), feats)
-
-        else:
-
-            @functools.partial(jax.jit, out_shardings=self._batch_shard)
-            def forward(variables, images_u8, camera_ids=None):
-                del camera_ids
-                x = normalize_images(images_u8, dtype=compute_dtype)
-                feats = module.apply(variables, x, train=False)
-                # models may return a tuple of heads (multipart / dual /
-                # multiview, getFeatures.py:110-241) — cast every leaf
-                return jax.tree.map(lambda f: f.astype(jnp.float32), feats)
-
-        self._forward = forward
+            cams = np.zeros(len(images_u8), np.int32) if camera_ids is None else camera_ids
+            args = args + (put_global(np.asarray(cams, np.int32), self._batch_shard),)
+        stats = jax.device_get(calib(*args))
+        self.quant_scales = {
+            k: float(v) for k, v in flatten_stats(stats[STATS_COLLECTION]).items()
+        }
+        self._forward = self._build_forward(quant_scales=self.quant_scales)
 
     def update_variables(self, variables) -> None:
         """Swap in new weights (e.g. after a training epoch) without
         recompiling."""
         self._variables = put_global(variables, self._replicated)
+        if self.quant_scales is not None:
+            # activation scales were calibrated against the old weights —
+            # drop them so the next extract recalibrates
+            self.quant_scales = None
+            self._forward = self._build_forward()
 
     def _decode_paths(self, paths: Sequence[str]) -> np.ndarray:
         h, w = self.img_size
@@ -187,6 +236,12 @@ class FeatureExtractor:
                 thread.join()
                 raise item
             b, imgs, valid = item
+            if self.quantize is not None and self.quant_scales is None:
+                # lazy int8 calibration on the first (representative) batch
+                cams0 = None
+                if self._takes_camera_ids:
+                    cams0 = np.pad(camids[b * bs : b * bs + valid], (0, bs - valid))
+                self.calibrate(imgs, camera_ids=cams0)
             # put_global/fetch_global keep this exact loop working when the
             # mesh spans processes (multi-host eval: same paths + seeds on
             # every host, shards contributed per process, allgather back)
@@ -236,10 +291,13 @@ def extract_features(
     turb_strength: int | None = None,
     dataset: str | None = None,
     verbose: bool = False,
+    quantize: str | None = None,
 ) -> np.ndarray:
     """One-shot convenience wrapper mirroring the reference signature
     (``getFeatures.extractFeatures``, ``getFeatures.py:47-71``)."""
-    ex = FeatureExtractor(bundle, img_size=img_size, batch_size=batch_size, mesh=mesh)
+    ex = FeatureExtractor(
+        bundle, img_size=img_size, batch_size=batch_size, mesh=mesh, quantize=quantize
+    )
     return ex.extract(
         table_or_paths,
         turbulence_dir=turbulence_dir,

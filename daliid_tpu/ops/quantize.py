@@ -1,0 +1,185 @@
+"""Int8 post-training quantization for the inference path (beyond-reference).
+
+The reference serves fp32 CUDA inference (``Person-ReID/getFeatures.py``)
+and has no quantization story. On TPU v5e the MXU runs int8 at twice the
+bf16 rate, and the measured hot convs of the flagship extraction forward
+speed up 1.1-1.5x at the bench shapes (``tools/bench_int8_mxu.py``,
+xprof device-time methodology), so an int8 path is a real serving lever.
+
+Design — symmetric per-tensor-activation / per-channel-weight PTQ, applied
+through `flax.linen` **method interception** so every model in the zoo is
+covered without touching model code:
+
+- :func:`calibrate` runs one forward pass with an interceptor that ``sow``s
+  each ``nn.Conv`` input's absolute maximum into a ``quant_stats``
+  collection (fully jit-compatible — the stats come back as the mutated
+  collection), then flattens it to ``{module-path: absmax}``.
+- :func:`quantized_apply` (or the raw :func:`make_quantized_interceptor`)
+  re-runs the model with each ``nn.Conv.__call__`` replaced by:
+  quantize the input with the calibrated per-tensor scale, quantize the
+  kernel per-output-channel, run the convolution in int8 with int32
+  accumulation (the MXU's double-rate mode), dequantize in f32, add the
+  bias, and cast back to the module's compute dtype. Batch-norm, ReLU,
+  pooling and every other op stay in the original dtype and fuse as usual.
+
+Accuracy: end-to-end CMC/mAP parity bands vs the fp forward are pinned in
+``tests/test_quantize.py`` on trained synthetic-set models.
+
+Only the convolution configurations the zoo actually uses are supported
+(int / 'SAME' / 'VALID' padding, strides, ``feature_group_count``,
+optional bias); anything else (dilation, string paddings beyond
+SAME/VALID) raises loudly rather than silently running un-quantized.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+STATS_COLLECTION = "quant_stats"
+
+
+def _module_path(mod) -> str:
+    return "/".join(str(p) for p in mod.path)
+
+
+def _conv_lax_config(mod: nn.Conv, ndim_spatial: int):
+    """Translate the ``nn.Conv`` attributes this zoo uses into
+    ``lax.conv_general_dilated`` arguments; raise on anything else."""
+    if ndim_spatial != 2:
+        raise NotImplementedError(f"int8 path supports 2D convs, got {ndim_spatial}D")
+
+    def _pair(v):
+        if isinstance(v, int):
+            return (v, v)
+        return tuple(v)
+
+    strides = _pair(mod.strides if mod.strides is not None else 1)
+
+    pad = mod.padding
+    if isinstance(pad, str):
+        if pad.upper() not in ("SAME", "VALID"):
+            raise NotImplementedError(f"int8 path: unsupported padding {pad!r}")
+        padding = pad.upper()
+    elif isinstance(pad, int):
+        padding = [(pad, pad)] * 2
+    else:  # sequence of ints or of (lo, hi) pairs
+        padding = [(p, p) if isinstance(p, int) else tuple(p) for p in pad]
+
+    for attr in ("kernel_dilation", "input_dilation"):
+        v = getattr(mod, attr, None)
+        if v is not None and any(d != 1 for d in _pair(v)):
+            raise NotImplementedError(f"int8 path: {attr}={v} unsupported")
+    return strides, padding, int(mod.feature_group_count)
+
+
+def _quantize_sym(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """Symmetric int8 quantization (f32 math for exact rounding)."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+
+
+def calibration_interceptor(next_fun, args, kwargs, context):
+    """Record each ``nn.Conv`` input's absmax into ``quant_stats``."""
+    mod = context.module
+    if isinstance(mod, nn.Conv) and context.method_name == "__call__":
+        absmax = jnp.max(jnp.abs(args[0])).astype(jnp.float32)
+        mod.sow(
+            STATS_COLLECTION,
+            "in_absmax",
+            absmax,
+            reduce_fn=jnp.maximum,
+            init_fn=lambda: jnp.zeros((), jnp.float32),
+        )
+    return next_fun(*args, **kwargs)
+
+
+def flatten_stats(tree, prefix=()) -> Dict[str, Any]:
+    """``quant_stats`` collection → ``{module-path: absmax}`` (array leaves)."""
+    flat: Dict[str, Any] = {}
+    for key, val in tree.items():
+        if isinstance(val, dict):
+            flat.update(flatten_stats(val, prefix + (key,)))
+        else:  # leaf: the sown "in_absmax" value
+            flat["/".join(prefix)] = val
+    return flat
+
+
+def calibrate(module, variables, *args, **kwargs) -> Dict[str, float]:
+    """One forward pass → ``{conv-module-path: input absmax}`` (host floats).
+
+    ``args``/``kwargs`` are forwarded to ``module.apply`` (e.g. the image
+    batch, ``train=False``, ``camera_ids=...``). Use a representative data
+    batch — the scales are baked into the quantized program.
+    """
+    with nn.intercept_methods(calibration_interceptor):
+        _, stats = module.apply(
+            variables, *args, mutable=[STATS_COLLECTION], **kwargs
+        )
+    flat = flatten_stats(jax.device_get(stats[STATS_COLLECTION]))
+    return {k: float(v) for k, v in flat.items()}
+
+
+def make_quantized_interceptor(
+    scales: Dict[str, float],
+    skip: Callable[[str], bool] | None = None,
+):
+    """Interceptor replacing each calibrated ``nn.Conv`` with int8 compute.
+
+    ``skip(path) -> True`` keeps that conv in the original dtype. Convs
+    missing from ``scales`` (or with an all-zero calibration input) also
+    fall through to the original computation.
+    """
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if not (isinstance(mod, nn.Conv) and context.method_name == "__call__"):
+            return next_fun(*args, **kwargs)
+        path = _module_path(mod)
+        absmax = scales.get(path)
+        if absmax is None or absmax <= 0.0 or (skip is not None and skip(path)):
+            return next_fun(*args, **kwargs)
+
+        x = args[0]
+        w = mod.get_variable("params", "kernel")  # HWIO
+        strides, padding, groups = _conv_lax_config(mod, x.ndim - 2)
+
+        s_in = jnp.float32(absmax / 127.0)
+        xq = _quantize_sym(x, s_in)
+        # per-output-channel symmetric weight scales
+        s_w = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 2), keepdims=True) / 127.0
+        s_w = jnp.maximum(s_w, jnp.float32(1e-12))
+        wq = _quantize_sym(w, s_w)
+
+        out = lax.conv_general_dilated(
+            xq,
+            wq,
+            strides,
+            padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.int32,
+        )
+        out = out.astype(jnp.float32) * (s_in * s_w[0])  # (1,1,O) broadcast
+        if mod.use_bias:
+            out = out + mod.get_variable("params", "bias").astype(jnp.float32)
+        res_dtype = mod.dtype if mod.dtype is not None else x.dtype
+        return out.astype(res_dtype)
+
+    return interceptor
+
+
+def quantized_apply(
+    module,
+    variables,
+    scales: Dict[str, float],
+    *args,
+    skip: Callable[[str], bool] | None = None,
+    **kwargs,
+):
+    """``module.apply`` with every calibrated conv running in int8."""
+    with nn.intercept_methods(make_quantized_interceptor(scales, skip=skip)):
+        return module.apply(variables, *args, **kwargs)

@@ -1,0 +1,210 @@
+"""Int8 PTQ path (ops/quantize.py): exact integer semantics, zoo coverage,
+extractor wiring, and fp-parity bands.
+
+Beyond-reference surface: the reference serves fp32 CUDA inference
+(``Person-ReID/getFeatures.py``) with no quantization story; on TPU v5e the
+int8 MXU mode doubles matmul rate (tools/bench_int8_mxu.py)."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from daliid_tpu.ops.quantize import (
+    calibrate,
+    make_quantized_interceptor,
+    quantized_apply,
+)
+
+IMG = (32, 16)
+
+
+def _cos(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    a, b = a.reshape(len(a), -1), b.reshape(len(b), -1)
+    num = (a * b).sum(1)
+    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1) + 1e-12
+    return num / den
+
+
+class OneConv(nn.Module):
+    features: int = 8
+    kernel: tuple = (1, 1)
+    padding: object = "SAME"
+    strides: tuple = (1, 1)
+    groups: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        return nn.Conv(
+            self.features, self.kernel, strides=self.strides, padding=self.padding,
+            feature_group_count=self.groups, use_bias=self.use_bias, name="conv",
+        )(x)
+
+
+def test_int8_semantics_exact_vs_numpy():
+    """The quantized 1x1 conv must equal the literal integer computation:
+    symmetric per-tensor input / per-channel weight quantization, int32
+    accumulation, f32 dequant."""
+    rng = np.random.default_rng(0)
+    m = OneConv(features=6)
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 5)), jnp.float32)
+    v = m.init(jax.random.key(1), x)
+
+    scales = calibrate(m, v, x)
+    assert list(scales) == ["conv"]
+    out = np.asarray(quantized_apply(m, v, scales, x))
+
+    w = np.asarray(v["params"]["conv"]["kernel"], np.float64)  # (1,1,5,6)
+    s_in = scales["conv"] / 127.0
+    xq = np.clip(np.round(np.asarray(x, np.float64) / s_in), -127, 127).astype(np.int32)
+    s_w = np.abs(w).max(axis=(0, 1, 2)) / 127.0  # per-channel (6,)
+    wq = np.clip(np.round(w / s_w), -127, 127).astype(np.int32)
+    acc = np.einsum("bhwi,io->bhwo", xq, wq[0, 0])  # int32 exact
+    expected = acc.astype(np.float64) * (s_in * s_w)
+    np.testing.assert_allclose(out, expected.astype(np.float32), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        dict(kernel=(3, 3), padding=1),
+        dict(kernel=(3, 3), padding="SAME", strides=(2, 2)),
+        dict(kernel=(3, 3), padding="VALID"),
+        dict(kernel=(3, 3), padding=1, groups=5, features=5),  # depthwise
+        dict(kernel=(1, 1), use_bias=True),
+        dict(kernel=(7, 7), padding=3, strides=(2, 2)),  # resnet stem shape
+    ],
+)
+def test_conv_config_coverage(cfg):
+    """Every conv configuration the zoo uses: the quantized op keeps the fp
+    output shape and stays within PTQ noise of the fp result."""
+    rng = np.random.default_rng(3)
+    m = OneConv(**{**dict(features=5), **cfg})
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 5)), jnp.float32)
+    v = m.init(jax.random.key(0), x)
+    ref = np.asarray(m.apply(v, x))
+    scales = calibrate(m, v, x)
+    out = np.asarray(quantized_apply(m, v, scales, x))
+    assert out.shape == ref.shape
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(out - ref).max() / denom < 0.03, cfg
+
+
+def test_unsupported_dilation_raises():
+    class Dilated(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(4, (3, 3), kernel_dilation=(2, 2), name="conv")(x)
+
+    m = Dilated()
+    x = jnp.ones((1, 8, 8, 3))
+    v = m.init(jax.random.key(0), x)
+    scales = calibrate(m, v, x)
+    with pytest.raises(NotImplementedError, match="kernel_dilation"):
+        quantized_apply(m, v, scales, x)
+
+
+def test_skip_and_missing_scales_fall_through():
+    rng = np.random.default_rng(1)
+    m = OneConv(features=4, kernel=(3, 3), padding=1)
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 3)), jnp.float32)
+    v = m.init(jax.random.key(0), x)
+    ref = np.asarray(m.apply(v, x))
+    scales = calibrate(m, v, x)
+    # skip predicate keeps the conv in fp — output must be bit-identical
+    with nn.intercept_methods(make_quantized_interceptor(scales, skip=lambda p: True)):
+        out = np.asarray(m.apply(v, x))
+    np.testing.assert_array_equal(out, ref)
+    # a conv missing from the scales dict also falls through
+    out2 = np.asarray(quantized_apply(m, v, {}, x))
+    np.testing.assert_array_equal(out2, ref)
+
+
+@pytest.mark.parametrize("model_key", ["resnet", "osnet", "densenet", "efficientnet"])
+def test_zoo_coverage(model_key):
+    """Interception covers every CNN family without model changes: all convs
+    get calibrated and the int8 features stay directionally faithful."""
+    from daliid_tpu.models.densenet import DenseNet121ReID
+    from daliid_tpu.models.efficientnet import EfficientNetB0ReID
+    from daliid_tpu.models.osnet import OSNetReID
+    from daliid_tpu.models.resnet import ResNet50ReID
+
+    builders = {
+        "resnet": lambda: ResNet50ReID(stage_sizes=(1, 1, 1, 1)),
+        "osnet": lambda: OSNetReID(),
+        "densenet": lambda: DenseNet121ReID(block_sizes=(2, 2, 2, 2), growth=8),
+        "efficientnet": lambda: EfficientNetB0ReID(),
+    }
+    m = builders[model_key]()
+    rng = np.random.default_rng(7)
+    # densenet's 5 downsamplings need a taller test image (a 32x16 input
+    # reaches a zero-width feature map in the last transition)
+    shape = (2, 64, 32, 3) if model_key == "densenet" else (2, *IMG, 3)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    # adapt the BN running stats to this input: untrained running stats let
+    # activations decay exponentially with depth (efficientnet reaches 1e-8
+    # by the head on random weights), which is not a regime any trained
+    # checkpoint produces and drowns the signal in compounding PTQ noise
+    for _ in range(8):
+        _, upd = m.apply(v, x, train=True, mutable=["batch_stats"])
+        v = {"params": v["params"], "batch_stats": upd["batch_stats"]}
+
+    scales = calibrate(m, v, x, train=False)
+    assert len(scales) >= 5, scales  # every conv sown, none silently missed
+    ref = np.asarray(m.apply(v, x, train=False))
+    out = np.asarray(quantized_apply(m, v, scales, x, train=False))
+    cos = _cos(out, ref)
+    assert cos.min() > 0.99, (model_key, cos.min())
+
+
+def test_feature_extractor_int8(tmp_path):
+    """The user-facing wiring: quantize='int8' lazily calibrates on the
+    first batch, extracts features close to the fp extractor, and drops the
+    stale scales when new weights arrive."""
+    from daliid_tpu.data import make_synthetic_dataset
+    from daliid_tpu.eval.features import FeatureExtractor
+    from daliid_tpu.models.factory import ModelBundle
+    from daliid_tpu.models.resnet import ResNet50ReID
+
+    splits, _ = make_synthetic_dataset(
+        str(tmp_path / "data"), num_ids=4, imgs_per_id_train=3, imgs_per_id_test=2,
+        height=IMG[0], width=IMG[1], with_turbulence=False,
+    )
+    m = ResNet50ReID(stage_sizes=(1, 1, 1, 1))
+    v = m.init({"params": jax.random.key(0)}, jnp.zeros((1, *IMG, 3)), train=False)
+    bundle = ModelBundle(module=m, variables=v, feature_dim=2048, name="tiny")
+
+    fp = FeatureExtractor(bundle, img_size=IMG, batch_size=8)
+    q = FeatureExtractor(bundle, img_size=IMG, batch_size=8, quantize="int8")
+    table = splits["gallery"]
+    f_fp = fp.extract(table)
+    f_q = q.extract(table)
+    assert q.quant_scales is not None and len(q.quant_scales) >= 17
+    assert f_q.shape == f_fp.shape
+    assert _cos(f_q, f_fp).min() > 0.995
+
+    # retrieval parity: int8 features must rank the gallery like fp ones
+    from daliid_tpu.eval.validate import Validator
+
+    val = Validator(img_size=IMG, batch_size=8, max_rank=5)
+    queries = splits["query"]
+    qf_fp, qf_q = fp.extract(queries), q.extract(queries)
+    cmc_fp, map_fp = val.rank(val.distance_matrix(qf_fp, f_fp), queries, table)
+    cmc_q, map_q = val.rank(val.distance_matrix(qf_q, f_q), queries, table)
+    assert abs(float(map_q) - float(map_fp)) < 0.02, (map_fp, map_q)
+    assert abs(float(cmc_q[0]) - float(cmc_fp[0])) < 0.05, (cmc_fp[0], cmc_q[0])
+
+    # new weights invalidate the calibration
+    q.update_variables({"params": v["params"], "batch_stats": v["batch_stats"]})
+    assert q.quant_scales is None
+
+
+def test_feature_extractor_rejects_unknown_mode():
+    from daliid_tpu.eval.features import FeatureExtractor
+
+    with pytest.raises(ValueError, match="int8"):
+        FeatureExtractor(object(), quantize="fp4")

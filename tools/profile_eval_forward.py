@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--quantize", type=str, default=None, choices=["int8"],
+                    help="profile the int8 PTQ forward (ops/quantize.py)")
     args = ap.parse_args()
 
     from daliid_tpu.utils.cache import enable_compilation_cache
@@ -85,10 +87,40 @@ def main():
         batch_sharding(mesh),
     )
 
+    quant_scales = None
+    if args.quantize == "int8":
+        import flax.linen as nn
+
+        from daliid_tpu.ops.quantize import (
+            STATS_COLLECTION,
+            calibration_interceptor,
+            flatten_stats,
+        )
+
+        @jax.jit
+        def calib(variables, images_u8):
+            x = normalize_images(images_u8, dtype=jnp.bfloat16)
+            with nn.intercept_methods(calibration_interceptor):
+                _, stats = module.apply(
+                    variables, x, train=False, mutable=[STATS_COLLECTION]
+                )
+            return stats
+
+        stats = jax.device_get(calib(variables, imgs))
+        quant_scales = {
+            k: float(v) for k, v in flatten_stats(stats[STATS_COLLECTION]).items()
+        }
+        print(f"int8 calibration: {len(quant_scales)} convs")
+
     @jax.jit
     def forward(variables, images_u8):
         x = normalize_images(images_u8, dtype=jnp.bfloat16)
-        out = module.apply(variables, x, train=False)
+        if quant_scales is None:
+            out = module.apply(variables, x, train=False)
+        else:
+            from daliid_tpu.ops.quantize import quantized_apply
+
+            out = quantized_apply(module, variables, quant_scales, x, train=False)
         # multi-head models (multipart/dual/multiview) return tuples
         return jax.tree.map(lambda f: f.astype(jnp.float32), out)
 
