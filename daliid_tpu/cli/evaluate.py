@@ -23,7 +23,7 @@ from daliid_tpu.data.registry import load_dataset
 from daliid_tpu.eval.features import FeatureExtractor
 from daliid_tpu.eval.validate import get_validator
 from daliid_tpu.models import get_model
-from daliid_tpu.models.factory import SIE_MODELS
+from daliid_tpu.models.factory import GELU_APPROX_MODELS, SIE_MODELS
 from daliid_tpu.train.checkpoint import load_variables
 from daliid_tpu.parallel.distributed import add_multihost_flags, maybe_initialize_from_args
 
@@ -77,6 +77,13 @@ def build_argparser() -> argparse.ArgumentParser:
              "match the checkpoint's training value)",
     )
     p.add_argument(
+        "--gelu_approx", action="store_true",
+        help="ViT-family backbones: tanh-approx GELU in the MLP blocks "
+             "(+9.7%% extraction throughput measured; NOT numerically "
+             "parity with the reference's erf GELU — use only with "
+             "checkpoints whose accuracy has been revalidated under it)",
+    )
+    p.add_argument(
         "--quantize", type=str, default=None, choices=["int8"],
         help="post-training quantization for extraction: every conv runs "
              "int8 on the MXU's double-rate mode, calibrated on the first "
@@ -114,14 +121,23 @@ def main(args):
             f"--sie_cameras only applies to {sorted(SIE_MODELS)}; "
             f"{args.model_name} has no SIE embedding"
         )
+    if getattr(args, "gelu_approx", False) and args.model_name not in GELU_APPROX_MODELS:
+        raise SystemExit(
+            f"--gelu_approx only applies to {sorted(GELU_APPROX_MODELS)}; "
+            f"{args.model_name} has no GELU"
+        )
     if getattr(args, "rerank", False) and args.multiple_output:
         raise SystemExit("--rerank supports single-output evaluation only")
     if getattr(args, "head_weighting", "mean") != "mean" and not args.multiple_output:
         raise SystemExit("--head_weighting applies only with --multiple_output")
+    model_kw = {}
+    if getattr(args, "gelu_approx", False):
+        model_kw["gelu_approx"] = True
     bundle = load_bundle(
         args.model_name, args.model_path, img_size, dtype,
         sie_cameras=getattr(args, "sie_cameras", 0),
         sie_coef=getattr(args, "sie_coef", 1.5),
+        **model_kw,
     )
     extractor = FeatureExtractor(
         bundle, img_size=img_size, batch_size=args.batch_size,

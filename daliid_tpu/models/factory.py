@@ -49,6 +49,9 @@ MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {}
 # validate against these sets and fail loudly instead.
 MARGIN_HEAD_MODELS = frozenset({"transreid_jpm"})
 SIE_MODELS = frozenset({"transreid", "transreid_jpm"})
+GELU_APPROX_MODELS = frozenset(
+    {"vit", "vit_small", "deit_small", "transreid", "transreid_jpm"}
+)
 
 
 def register_model(name: str):
@@ -119,47 +122,47 @@ def _inception_v3(dtype=jnp.float32, feature="both", **kw):
 
 
 @register_model("vit")
-def _vit(dtype=jnp.float32, img_size=(256, 128), **kw):
-    m = vit_base_reid(dtype=dtype, img_size=tuple(img_size))
+def _vit(dtype=jnp.float32, img_size=(256, 128), gelu_approx=False, **kw):
+    m = vit_base_reid(dtype=dtype, img_size=tuple(img_size), gelu_approx=gelu_approx)
     return m, 768
 
 
 @register_model("vit_small")
-def _vit_small(dtype=jnp.float32, img_size=(256, 128), **kw):
+def _vit_small(dtype=jnp.float32, img_size=(256, 128), gelu_approx=False, **kw):
     """Reference-exact vit_small (vit_pytorch.py:461-468): 768/8/8, mlp 3,
     no qkv bias, qk_scale 768^-0.5."""
-    m = vit_small_reid(dtype=dtype, img_size=tuple(img_size))
+    m = vit_small_reid(dtype=dtype, img_size=tuple(img_size), gelu_approx=gelu_approx)
     return m, 768
 
 
 @register_model("deit_small")
-def _deit_small(dtype=jnp.float32, img_size=(256, 128), **kw):
+def _deit_small(dtype=jnp.float32, img_size=(256, 128), gelu_approx=False, **kw):
     """DeiT-small shape (vit_pytorch.py:470-476)."""
-    m = deit_small_reid(dtype=dtype, img_size=tuple(img_size))
+    m = deit_small_reid(dtype=dtype, img_size=tuple(img_size), gelu_approx=gelu_approx)
     return m, 384
 
 
 @register_model("transreid_jpm")
 def _transreid_jpm(dtype=jnp.float32, img_size=(256, 128), sie_cameras=0, sie_views=0,
                    sie_coef=1.5, num_classes=0, id_loss_type="softmax", margin_s=None,
-                   margin_m=None, **kw):
+                   margin_m=None, gelu_approx=False, **kw):
     """TransReID with the jigsaw patch module (make_models.py:221-389)."""
     from daliid_tpu.models.transreid_jpm import TransReIDJPM
 
     m = TransReIDJPM(
         img_size=tuple(img_size), sie_cameras=sie_cameras, sie_views=sie_views,
         sie_coef=sie_coef, num_classes=num_classes, id_loss_type=id_loss_type,
-        margin_s=margin_s, margin_m=margin_m, dtype=dtype,
+        margin_s=margin_s, margin_m=margin_m, gelu_approx=gelu_approx, dtype=dtype,
     )
     return m, 5 * 768
 
 
 @register_model("transreid")
 def _transreid(dtype=jnp.float32, img_size=(256, 128), sie_cameras=0, sie_views=0,
-               sie_coef=1.5, **kw):
+               sie_coef=1.5, gelu_approx=False, **kw):
     m = transreid_base(
         img_size=tuple(img_size), sie_cameras=sie_cameras, sie_views=sie_views,
-        sie_coef=sie_coef, dtype=dtype,
+        sie_coef=sie_coef, gelu_approx=gelu_approx, dtype=dtype,
     )
     return m, 768
 

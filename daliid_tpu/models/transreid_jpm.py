@@ -68,6 +68,7 @@ class TransReIDJPM(nn.Module):
                                    # circle, make_models.py:260-277)
     margin_s: float | None = None  # cfg.SOLVER.COSINE_SCALE (None = per-head default)
     margin_m: float | None = None  # cfg.SOLVER.COSINE_MARGIN
+    gelu_approx: bool = False   # tanh GELU (see models/vit.py — non-parity, opt-in)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -89,13 +90,15 @@ class TransReIDJPM(nn.Module):
             sie_views=self.sie_views,
             sie_coef=self.sie_coef,
             local_feature=True,
+            gelu_approx=self.gelu_approx,
             dtype=self.dtype,
             name="base",
         )
         tokens = trunk(x, camera_ids=camera_ids, view_ids=view_ids, train=train)
 
         def branch_block(name):
-            blk = Block(self.num_heads, self.mlp_ratio, 0.0, dtype=self.dtype, name=f"{name}_block")
+            blk = Block(self.num_heads, self.mlp_ratio, 0.0, gelu_approx=self.gelu_approx,
+                        dtype=self.dtype, name=f"{name}_block")
             ln = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"{name}_norm")
             return lambda t: ln(blk(t.astype(self.dtype), train=train)).astype(jnp.float32)
 

@@ -21,6 +21,18 @@ covered without touching model code:
   accumulation (the MXU's double-rate mode), dequantize in f32, add the
   bias, and cast back to the module's compute dtype. Batch-norm, ReLU,
   pooling and every other op stay in the original dtype and fuse as usual.
+- ``nn.Dense`` layers (the ViT/TransReID qkv / attention-proj / MLP
+  matmuls — where that family's FLOPs live) also run int8. Calibrated
+  layers use a **static per-tensor** activation scale so the quantize
+  fuses into the producer's epilogue (GELU / LayerNorm) with no extra
+  HBM pass — measured necessary on the wide-K fc2 matmul, where a
+  dynamic per-row absmax pass costs more than the int8 win
+  (``tools/bench_int8_mxu.py``: fc2 dynq8 0.71x bf16 vs static-int8
+  2.0x). Uncalibrated Dense layers fall back to dynamic per-row
+  (per-token) scales, which factor out of the contraction exactly and
+  need no calibration. Matmuls smaller than an MXU tile on either side
+  (``dense_min_dim``) stay in fp — quantizing the SE-gate vectors of
+  OSNet/EfficientNet costs more in quantize glue than the tiny matmul.
 
 Accuracy: end-to-end CMC/mAP parity bands vs the fp forward are pinned in
 ``tests/test_quantize.py`` on trained synthetic-set models.
@@ -83,9 +95,10 @@ def _quantize_sym(x: jax.Array, scale: jax.Array) -> jax.Array:
 
 
 def calibration_interceptor(next_fun, args, kwargs, context):
-    """Record each ``nn.Conv`` input's absmax into ``quant_stats``."""
+    """Record each ``nn.Conv``/``nn.Dense`` input's absmax into
+    ``quant_stats``."""
     mod = context.module
-    if isinstance(mod, nn.Conv) and context.method_name == "__call__":
+    if isinstance(mod, (nn.Conv, nn.Dense)) and context.method_name == "__call__":
         absmax = jnp.max(jnp.abs(args[0])).astype(jnp.float32)
         mod.sow(
             STATS_COLLECTION,
@@ -123,20 +136,77 @@ def calibrate(module, variables, *args, **kwargs) -> Dict[str, float]:
     return {k: float(v) for k, v in flat.items()}
 
 
+def _quantized_dense(mod: nn.Dense, x: jax.Array, absmax: float | None) -> jax.Array:
+    """``nn.Dense`` in int8.
+
+    With a calibrated ``absmax`` the activation scale is static per-tensor,
+    so the quantize fuses into the producer's epilogue (GELU / LayerNorm)
+    with no extra HBM pass — measured necessary for the wide-K fc2 matmul,
+    where a dynamic absmax pass costs more than the int8 win
+    (tools/bench_int8_mxu.py: fc2 dynq8 0.71x bf16, static-int8 2.0x).
+    Without calibration the scale is the dynamic per-row absmax, which
+    factors out of the contraction exactly: ``acc * s_in[r] * s_w[o]``.
+    """
+    w = mod.get_variable("params", "kernel")  # (in, out)
+    if absmax is not None:
+        s_in = jnp.float32(max(absmax, 1e-12) / 127.0)
+    else:
+        s_in = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+        s_in = jnp.maximum(s_in, jnp.float32(1e-12))
+    xq = _quantize_sym(x, s_in)
+    s_w = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True) / 127.0
+    s_w = jnp.maximum(s_w, jnp.float32(1e-12))
+    wq = _quantize_sym(w, s_w)
+
+    acc = lax.dot_general(
+        xq,
+        wq,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * s_in * s_w  # (..., 1) x (1, out) broadcast
+    if mod.use_bias:
+        out = out + mod.get_variable("params", "bias").astype(jnp.float32)
+    res_dtype = mod.dtype if mod.dtype is not None else x.dtype
+    return out.astype(res_dtype)
+
+
 def make_quantized_interceptor(
     scales: Dict[str, float],
     skip: Callable[[str], bool] | None = None,
+    dense: bool = True,
+    dense_min_dim: int = 128,
 ):
     """Interceptor replacing each calibrated ``nn.Conv`` with int8 compute.
 
     ``skip(path) -> True`` keeps that conv in the original dtype. Convs
     missing from ``scales`` (or with an all-zero calibration input) also
     fall through to the original computation.
+
+    With ``dense=True`` (default), ``nn.Dense`` layers whose matmul spans at
+    least ``dense_min_dim`` (one MXU tile) on both sides also run int8, with
+    dynamic per-row activation scales — no calibration entry required.
     """
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
-        if not (isinstance(mod, nn.Conv) and context.method_name == "__call__"):
+        if not context.method_name == "__call__":
+            return next_fun(*args, **kwargs)
+        if dense and isinstance(mod, nn.Dense):
+            x = args[0]
+            d_in, d_out = x.shape[-1], int(mod.features)
+            path = _module_path(mod)
+            if (
+                d_in >= dense_min_dim
+                and d_out >= dense_min_dim
+                and not (skip is not None and skip(path))
+            ):
+                absmax = scales.get(path)
+                if absmax is not None and absmax <= 0.0:
+                    absmax = None  # degenerate calibration → dynamic scales
+                return _quantized_dense(mod, x, absmax)
+            return next_fun(*args, **kwargs)
+        if not isinstance(mod, nn.Conv):
             return next_fun(*args, **kwargs)
         path = _module_path(mod)
         absmax = scales.get(path)
@@ -178,8 +248,14 @@ def quantized_apply(
     scales: Dict[str, float],
     *args,
     skip: Callable[[str], bool] | None = None,
+    dense: bool = True,
+    dense_min_dim: int = 128,
     **kwargs,
 ):
-    """``module.apply`` with every calibrated conv running in int8."""
-    with nn.intercept_methods(make_quantized_interceptor(scales, skip=skip)):
+    """``module.apply`` with every calibrated conv (and, by default, every
+    MXU-sized ``nn.Dense``) running in int8."""
+    interceptor = make_quantized_interceptor(
+        scales, skip=skip, dense=dense, dense_min_dim=dense_min_dim
+    )
+    with nn.intercept_methods(interceptor):
         return module.apply(variables, *args, **kwargs)

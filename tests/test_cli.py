@@ -90,6 +90,13 @@ def test_evaluate_cli_rejects_sie_for_non_sie_model(data_root):
         eval_cli.main(_eval_args(data_root, sie_cameras=2))
 
 
+def test_evaluate_cli_rejects_gelu_approx_for_cnn(data_root):
+    """--gelu_approx on a GELU-free CNN backbone must fail loudly, like the
+    other factory-**kw flags."""
+    with pytest.raises(SystemExit, match="gelu_approx"):
+        eval_cli.main(_eval_args(data_root, model_name="resnet50", gelu_approx=True))
+
+
 def test_train_cli_flag_validation(data_root, tmp_path):
     """Silently-ignored flags fail loudly: margin heads only exist on
     transreid_jpm, and raw camids must fit the SIE table (XLA's gather

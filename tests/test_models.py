@@ -100,6 +100,22 @@ def test_vit_sie_changes_output(rng):
     assert not np.allclose(np.asarray(out0), np.asarray(out1))
 
 
+@pytest.mark.parametrize("name", ["deit_small", "transreid_jpm"])
+def test_gelu_approx_plumbed_through_factory(rng, name):
+    """`gelu_approx=True` must actually reach the MLP blocks through the
+    factory's **kw (a silently-swallowed flag here would mean the documented
+    +9.7% serving option and the eval CLI's --gelu_approx do nothing)."""
+    x = jnp.asarray(rng.normal(size=(2, *IMG, 3)).astype(np.float32))
+    erf = get_model(name, jax.random.key(0), img_size=IMG)
+    tanh = get_model(name, jax.random.key(0), img_size=IMG, gelu_approx=True)
+    assert tanh.module.gelu_approx is True
+    out_erf = np.asarray(erf.apply_eval(x))
+    out_tanh = np.asarray(tanh.apply_eval(x))
+    # same init, different GELU → close but not identical
+    assert not np.array_equal(out_erf, out_tanh)
+    assert np.max(np.abs(out_erf - out_tanh)) < 1.0
+
+
 def test_transreid_jpm_shapes():
     from daliid_tpu.models.transreid_jpm import TransReIDJPM, shuffle_unit
 

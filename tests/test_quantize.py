@@ -203,6 +203,97 @@ def test_feature_extractor_int8(tmp_path):
     assert q.quant_scales is None
 
 
+class OneDense(nn.Module):
+    features: int = 256
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        return nn.Dense(self.features, use_bias=self.use_bias, name="fc")(x)
+
+
+@pytest.mark.parametrize("mode", ["dynamic", "static"])
+def test_dense_int8_semantics_exact_vs_numpy(mode):
+    """The quantized Dense must equal the literal integer computation:
+    per-row dynamic (no calibration entry) or per-tensor static (calibrated)
+    activation scales, per-column weight scales, int32 accumulation, f32
+    dequant + bias."""
+    rng = np.random.default_rng(5)
+    m = OneDense(features=192)
+    x = jnp.asarray(rng.standard_normal((3, 7, 160)), jnp.float32)
+    v = m.init(jax.random.key(2), x)
+    scales = {} if mode == "dynamic" else calibrate(m, v, x)
+    if mode == "static":
+        assert list(scales) == ["fc"]
+    out = np.asarray(quantized_apply(m, v, scales, x))
+
+    w = np.asarray(v["params"]["fc"]["kernel"], np.float64)  # (160, 192)
+    b = np.asarray(v["params"]["fc"]["bias"], np.float64)
+    xf = np.asarray(x, np.float64)
+    if mode == "dynamic":
+        s_in = np.maximum(np.abs(xf).max(-1, keepdims=True) / 127.0, 1e-12)
+    else:
+        s_in = scales["fc"] / 127.0
+    xq = np.clip(np.round(xf / s_in), -127, 127).astype(np.int32)
+    s_w = np.maximum(np.abs(w).max(0, keepdims=True) / 127.0, 1e-12)
+    wq = np.clip(np.round(w / s_w), -127, 127).astype(np.int32)
+    acc = np.einsum("bni,io->bno", xq, wq)  # int32 exact
+    expected = acc.astype(np.float64) * s_in * s_w + b
+    np.testing.assert_allclose(out, expected.astype(np.float32), rtol=1e-5, atol=1e-5)
+
+
+def test_dense_below_mxu_tile_falls_through():
+    """SE-gate-sized matmuls stay in fp (quantize glue would dominate), and
+    dense=False disables the Dense path entirely."""
+    rng = np.random.default_rng(6)
+    small = OneDense(features=32)
+    x = jnp.asarray(rng.standard_normal((4, 512)), jnp.float32)
+    v = small.init(jax.random.key(0), x)
+    ref = np.asarray(small.apply(v, x))
+    np.testing.assert_array_equal(np.asarray(quantized_apply(small, v, {}, x)), ref)
+
+    big = OneDense(features=256)
+    vb = big.init(jax.random.key(0), x)
+    refb = np.asarray(big.apply(vb, x))
+    np.testing.assert_array_equal(
+        np.asarray(quantized_apply(big, vb, {}, x, dense=False)), refb
+    )
+    # and with dense on, the big matmul IS quantized (differs from fp)
+    assert np.abs(np.asarray(quantized_apply(big, vb, {}, x)) - refb).max() > 0
+
+
+def test_vit_int8_parity():
+    """ViT family coverage: qkv/proj/fc1/fc2 run int8 (dynamic per-token
+    scales) plus the calibrated patch-embed conv; features stay
+    directionally faithful to the fp forward."""
+    from daliid_tpu.models.vit import ViTReID
+
+    m = ViTReID(img_size=(32, 16), patch_size=8, patch_stride=8,
+                embed_dim=192, depth=2, num_heads=3, drop_path_rate=0.0)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 32, 16, 3)), jnp.float32)
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    for _ in range(4):
+        _, upd = m.apply(v, x, train=True, mutable=["batch_stats"],
+                         rngs={"droppath": jax.random.key(1)})
+        v = {"params": v["params"], "batch_stats": upd["batch_stats"]}
+
+    scales = calibrate(m, v, x, train=False)
+    # the patch-embed conv plus every block's qkv/proj/fc1/fc2
+    assert "patch_embed" in scales
+    assert "block0/attn/qkv" in scales and "block1/mlp/fc2" in scales
+    assert len(scales) == 1 + 2 * 4
+    ref = np.asarray(m.apply(v, x, train=False))
+    out = np.asarray(quantized_apply(m, v, scales, x, train=False))
+    assert out.shape == ref.shape
+    assert _cos(out, ref).min() > 0.99
+    # dynamic fallback (no Dense calibration entries) also stays faithful
+    out_dyn = np.asarray(
+        quantized_apply(m, v, {"patch_embed": scales["patch_embed"]}, x, train=False)
+    )
+    assert _cos(out_dyn, ref).min() > 0.99
+
+
 def test_feature_extractor_rejects_unknown_mode():
     from daliid_tpu.eval.features import FeatureExtractor
 

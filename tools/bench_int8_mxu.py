@@ -72,6 +72,26 @@ def gemm_case(m, n, k, dtype, iters, rng):
     return 2 * m * n * k / dt / 1e12, dt
 
 
+def dynquant_gemm_case(m, n, k, iters, rng):
+    """The full Dense dynamic-int8 chain (ops/quantize.py:_quantized_dense):
+    per-row absmax → quantize → int8 dot → dequant, from a bf16 input.
+    Isolates how much of the pure-int8-GEMM win the quantize glue eats."""
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((k, n)), jnp.bfloat16)
+
+    def fn(x, w):
+        s_in = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s_in), -127, 127).astype(jnp.int8)
+        s_w = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True) / 127.0
+        wq = jnp.clip(jnp.round(w.astype(jnp.float32) / s_w), -127, 127).astype(jnp.int8)
+        acc = lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * s_in * s_w).astype(jnp.bfloat16)
+
+    dt = device_seconds_per_iter(fn, (x, w), iters)
+    return 2 * m * n * k / dt / 1e12, dt
+
+
 def conv_case(b, h, w, cin, cout, kh, kw, stride, dtype, iters, rng):
     if dtype == "int8":
         x = jnp.asarray(rng.integers(-127, 127, (b, h, w, cin), np.int8))
@@ -99,10 +119,21 @@ def main():
     print(f"devices: {jax.devices()}")
 
     print(f"{'case':<42} {'dtype':>6} {'TFLOP/s':>9} {'ms':>8}")
-    for m, n, k in [(4096, 4096, 4096), (8192, 8192, 8192)]:
+    # square pure-MXU probes + the ViT-B extraction matmul shapes at the
+    # bench batch (512 imgs x 129 tokens = 66048 rows; qkv/fc1 K=768,
+    # fc2 K=3072 — tools/profile_eval_forward.py --model vit)
+    for m, n, k in [
+        (4096, 4096, 4096),
+        (8192, 8192, 8192),
+        (66048, 2304, 768),   # vit qkv
+        (66048, 3072, 768),   # vit fc1
+        (66048, 768, 3072),   # vit fc2
+    ]:
         for dtype in ("bf16", "int8"):
             tf, dt = gemm_case(m, n, k, dtype, args.iters, rng)
             print(f"gemm {m}x{n}x{k:<24} {dtype:>6} {tf:9.2f} {dt*1e3:8.3f}", flush=True)
+        tf, dt = dynquant_gemm_case(m, n, k, args.iters, rng)
+        print(f"gemm {m}x{n}x{k:<24} {'dynq8':>6} {tf:9.2f} {dt*1e3:8.3f}", flush=True)
 
     # ResNet-50 extraction hot convs at the bench batch (512, 256x128 input):
     # layer1 3x3 (HBM-bound in the roofline) and layer4 3x3 (MXU-bound)

@@ -63,6 +63,8 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--quantize", type=str, default=None, choices=["int8"],
                     help="profile the int8 PTQ forward (ops/quantize.py)")
+    ap.add_argument("--gelu_approx", action="store_true",
+                    help="ViT family: tanh-approx GELU (models/vit.py)")
     args = ap.parse_args()
 
     from daliid_tpu.utils.cache import enable_compilation_cache
@@ -78,7 +80,9 @@ def main():
 
     img_size = (256, 128)
     mesh = make_mesh()
-    bundle = get_model(args.model, jax.random.key(0), img_size=img_size, dtype=jnp.bfloat16)
+    model_kw = {"gelu_approx": True} if args.gelu_approx else {}
+    bundle = get_model(args.model, jax.random.key(0), img_size=img_size,
+                       dtype=jnp.bfloat16, **model_kw)
     variables = jax.device_put(bundle.variables, replicated_sharding(mesh))
     module = bundle.module
     rng = np.random.default_rng(0)
