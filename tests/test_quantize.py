@@ -294,6 +294,30 @@ def test_vit_int8_parity():
     assert _cos(out_dyn, ref).min() > 0.99
 
 
+def test_feature_extractor_int8_vit_sharded(tmp_path):
+    """ViT-family int8 through the user-facing extractor on the 8-device
+    mesh: conv + Dense interception must compile and execute batch-sharded
+    (the production multi-chip serving path), with features close to fp."""
+    from daliid_tpu.data import make_synthetic_dataset
+    from daliid_tpu.eval.features import FeatureExtractor
+    from daliid_tpu.models import get_model
+
+    splits, _ = make_synthetic_dataset(
+        str(tmp_path / "data"), num_ids=4, imgs_per_id_train=3, imgs_per_id_test=2,
+        height=IMG[0], width=IMG[1], with_turbulence=False,
+    )
+    vit = get_model("deit_small", jax.random.key(1), img_size=IMG, dtype=jnp.float32)
+    fp = FeatureExtractor(vit, img_size=IMG, batch_size=8)
+    q = FeatureExtractor(vit, img_size=IMG, batch_size=8, quantize="int8")
+    assert fp.mesh.devices.size > 1  # conftest's virtual 8-device mesh
+    f_fp = fp.extract(splits["gallery"])
+    f_q = q.extract(splits["gallery"])
+    # calibration found the patch-embed conv AND the block Dense layers
+    assert any("qkv" in k for k in q.quant_scales)
+    assert any("patch_embed" in k for k in q.quant_scales)
+    assert _cos(f_q, f_fp).min() > 0.98
+
+
 def test_feature_extractor_rejects_unknown_mode():
     from daliid_tpu.eval.features import FeatureExtractor
 
