@@ -50,6 +50,10 @@ def main():
     batch = 512
     n_iters = 30
     dtype_mode = os.environ.get("DALIID_BENCH_DTYPE", "int8")
+    if dtype_mode not in ("int8", "bf16"):
+        raise SystemExit(
+            f"DALIID_BENCH_DTYPE must be 'int8' or 'bf16', got {dtype_mode!r}"
+        )
 
     mesh = make_mesh()
     bundle = get_model("resnet50", jax.random.key(0), img_size=img_size, dtype=jnp.bfloat16)
@@ -67,27 +71,12 @@ def main():
 
     quant_scales = None
     if dtype_mode == "int8":
-        import flax.linen as nn
+        from daliid_tpu.ops.quantize import calibrate
 
-        from daliid_tpu.ops.quantize import (
-            STATS_COLLECTION,
-            calibration_interceptor,
-            flatten_stats,
+        x = jax.jit(lambda u8: normalize_images(u8, dtype=jnp.bfloat16))(
+            device_batches[0]
         )
-
-        @jax.jit
-        def calib(variables, images_u8):
-            x = normalize_images(images_u8, dtype=jnp.bfloat16)
-            with nn.intercept_methods(calibration_interceptor):
-                _, stats = module.apply(
-                    variables, x, train=False, mutable=[STATS_COLLECTION]
-                )
-            return stats
-
-        stats = jax.device_get(calib(variables, device_batches[0]))
-        quant_scales = {
-            k: float(v) for k, v in flatten_stats(stats[STATS_COLLECTION]).items()
-        }
+        quant_scales = calibrate(module, variables, x, train=False)
 
     @jax.jit
     def forward(variables, images_u8):

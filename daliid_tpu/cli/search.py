@@ -38,6 +38,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--img_width", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument(
+        "--quantize", type=str, default=None, choices=["int8"],
+        help="int8 post-training quantization for probe/gallery extraction, "
+             "calibrated lazily on the first batch (ops/quantize.py)",
+    )
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--save_index", type=str, default=None, help="save gallery embeddings to .npz")
     p.add_argument("--load_index", type=str, default=None, help="load gallery embeddings from .npz")
@@ -56,7 +61,10 @@ def main(args):
     gallery, queries = splits["gallery"], splits["query"]
 
     bundle = load_bundle(args.model_name, args.model_path, img_size, dtype)
-    extractor = FeatureExtractor(bundle, img_size=img_size, batch_size=args.batch_size)
+    extractor = FeatureExtractor(
+        bundle, img_size=img_size, batch_size=args.batch_size,
+        quantize=getattr(args, "quantize", None),
+    )
 
     if args.load_index:
         # one schema with GalleryIndex.save (legacy 'embeddings' accepted)

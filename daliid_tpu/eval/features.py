@@ -121,33 +121,17 @@ class FeatureExtractor:
         conv input's absmax and rebuilds the forward with the quantized
         interceptor. Called automatically on the first extract batch when
         ``quantize='int8'``."""
-        from daliid_tpu.ops.quantize import (
-            STATS_COLLECTION,
-            calibration_interceptor,
-            flatten_stats,
+        from daliid_tpu.ops.quantize import calibrate as _calibrate
+
+        compute_dtype = self.compute_dtype
+        x = jax.jit(lambda u8: normalize_images(u8, dtype=compute_dtype))(
+            put_global(np.asarray(images_u8, np.uint8), self._batch_shard)
         )
-
-        module, compute_dtype = self._module, self.compute_dtype
-        import flax.linen as nn
-
-        @jax.jit
-        def calib(variables, images_u8, camera_ids=None):
-            x = normalize_images(images_u8, dtype=compute_dtype)
-            kwargs = {"camera_ids": camera_ids} if self._takes_camera_ids else {}
-            with nn.intercept_methods(calibration_interceptor):
-                _, stats = module.apply(
-                    variables, x, train=False, mutable=[STATS_COLLECTION], **kwargs
-                )
-            return stats
-
-        args = (self._variables, put_global(np.asarray(images_u8, np.uint8), self._batch_shard))
+        kwargs = {}
         if self._takes_camera_ids:
             cams = np.zeros(len(images_u8), np.int32) if camera_ids is None else camera_ids
-            args = args + (put_global(np.asarray(cams, np.int32), self._batch_shard),)
-        stats = jax.device_get(calib(*args))
-        self.quant_scales = {
-            k: float(v) for k, v in flatten_stats(stats[STATS_COLLECTION]).items()
-        }
+            kwargs["camera_ids"] = put_global(np.asarray(cams, np.int32), self._batch_shard)
+        self.quant_scales = _calibrate(self._module, self._variables, x, train=False, **kwargs)
         self._forward = self._build_forward(quant_scales=self.quant_scales)
 
     def update_variables(self, variables) -> None:
@@ -236,8 +220,11 @@ class FeatureExtractor:
                 thread.join()
                 raise item
             b, imgs, valid = item
-            if self.quantize is not None and self.quant_scales is None:
-                # lazy int8 calibration on the first (representative) batch
+            if self.quantize is not None and self.quant_scales is None and valid > 0:
+                # Lazy int8 calibration on the first batch carrying real
+                # images. Zero-padded tail rows can't inflate the absmax
+                # stats, but an ALL-padding batch (empty extract) would
+                # latch absmax=0 scales permanently — skip those.
                 cams0 = None
                 if self._takes_camera_ids:
                     cams0 = np.pad(camids[b * bs : b * bs + valid], (0, bs - valid))

@@ -121,17 +121,28 @@ def flatten_stats(tree, prefix=()) -> Dict[str, Any]:
     return flat
 
 
-def calibrate(module, variables, *args, **kwargs) -> Dict[str, float]:
+def calibrate(module, variables, *args, jit: bool = True, **kwargs) -> Dict[str, float]:
     """One forward pass → ``{conv-module-path: input absmax}`` (host floats).
 
     ``args``/``kwargs`` are forwarded to ``module.apply`` (e.g. the image
     batch, ``train=False``, ``camera_ids=...``). Use a representative data
     batch — the scales are baked into the quantized program.
+
+    The intercepted forward runs under ``jax.jit`` by default (one compiled
+    dispatch instead of thousands of eager ops through the device tunnel);
+    kwargs become trace-time constants, which is fine for a one-shot
+    calibration pass. This is the single calibration implementation — the
+    FeatureExtractor, bench.py and the profiling tools all route here.
     """
-    with nn.intercept_methods(calibration_interceptor):
-        _, stats = module.apply(
-            variables, *args, mutable=[STATS_COLLECTION], **kwargs
-        )
+
+    def run(variables, *a):
+        with nn.intercept_methods(calibration_interceptor):
+            _, stats = module.apply(
+                variables, *a, mutable=[STATS_COLLECTION], **kwargs
+            )
+        return stats
+
+    stats = (jax.jit(run) if jit else run)(variables, *args)
     flat = flatten_stats(jax.device_get(stats[STATS_COLLECTION]))
     return {k: float(v) for k, v in flat.items()}
 

@@ -84,11 +84,15 @@ class CheckpointManager:
             args=ocp.args.StandardSave(payload),
             metrics={k: float(v) for k, v in (metrics or {}).items()},
         )
-        self._mgr.wait_until_finished()
+        # No wait here: orbax's async checkpointer snapshots the arrays to
+        # host synchronously and streams to disk in the background, so a
+        # per-epoch crash-resume save (--ckpt_freq 1) overlaps the next
+        # epoch instead of blocking it. Readers below wait first.
 
     def restore(self, epoch: int | None = None, template_state: TrainState | None = None):
         """→ (TrainState, epoch, rng | None). ``epoch=None`` restores the
         latest step; ``rng`` is None when the checkpoint carried no RNG."""
+        self._mgr.wait_until_finished()
         step = epoch if epoch is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
@@ -98,7 +102,15 @@ class CheckpointManager:
                 "epoch": np.asarray(0, dtype=np.int64),
                 "rng": _zero_rng(),
             }
-            payload = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+            try:
+                payload = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+            except ValueError:
+                # Checkpoints written before RNG capture (pre round-3) have
+                # no 'rng' subtree and orbax's StandardRestore rejects the
+                # structure mismatch — retry with the legacy template so old
+                # runs still resume (without RNG replay).
+                template.pop("rng")
+                payload = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         else:
             payload = self._mgr.restore(step)
         s = payload["state"]
@@ -118,16 +130,20 @@ class CheckpointManager:
 
     def metrics(self, step: int) -> Dict[str, float]:
         """Saved eval metrics for ``step`` (empty if none were recorded)."""
+        self._mgr.wait_until_finished()
         m = self._mgr.metrics(step)
         return dict(m) if m else {}
 
     def best_step(self):
+        self._mgr.wait_until_finished()
         return self._mgr.best_step()
 
     def latest_step(self):
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

@@ -65,6 +65,28 @@ def test_orbax_rng_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_restore_pre_rng_checkpoint(tmp_path):
+    """Checkpoints written before the RNG payload existed (no 'rng' subtree)
+    must still restore — orbax's StandardRestore rejects template/disk
+    structure mismatches, so restore() retries with the legacy template."""
+    import orbax.checkpoint as ocp
+
+    from daliid_tpu.train.checkpoint import _state_to_pytree
+
+    state = _tiny_state()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    legacy_payload = {  # exactly what the pre-round-3 save() wrote
+        "state": _state_to_pytree(state),
+        "epoch": np.asarray(4, dtype=np.int64),
+    }
+    mgr._mgr.save(4, args=ocp.args.StandardSave(legacy_payload), metrics={"rank1": 0.2})
+    restored, epoch, rng = mgr.restore(template_state=_tiny_state(seed=1))
+    assert epoch == 4
+    assert rng is None
+    assert _tree_equal(restored.params, state.params)
+    mgr.close()
+
+
 def test_orbax_best_and_latest(tmp_path):
     state = _tiny_state()
     mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=5)

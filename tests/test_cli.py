@@ -162,6 +162,31 @@ def test_train_cli_crash_resume(data_root, tmp_path, capsys):
     assert os.path.isdir(str(tmp_path / "ckpt" / "latest" / "3"))
 
 
+def test_search_cli_end_to_end(data_root, tmp_path, capsys):
+    """Serving CLI: enroll the synthetic gallery, search its query split
+    (int8 extraction), save + reload the index."""
+    from daliid_tpu.cli import search as search_cli
+
+    index_path = str(tmp_path / "gallery_index.npz")
+    argv = [
+        "--dataset", "Market", "--data_root", data_root,
+        "--model_name", "resnet50", "--img_height", "32", "--img_width", "16",
+        "--batch_size", "16", "--compute_dtype", "float32",
+        "--quantize", "int8", "--topk", "3", "--save_index", index_path,
+    ]
+    args = search_cli.build_argparser().parse_args(argv)
+    sims, ids, pids = search_cli.main(args)
+    assert sims.shape[1] == 3 and pids.shape == sims.shape
+    assert os.path.exists(index_path)
+    out = capsys.readouterr().out
+    assert "top-1 identity accuracy" in out
+
+    # reuse the saved index (no gallery re-extraction)
+    args2 = search_cli.build_argparser().parse_args(argv + ["--load_index", index_path])
+    sims2, _, pids2 = search_cli.main(args2)
+    np.testing.assert_array_equal(pids, pids2)
+
+
 def test_export_cli_round_trip(tmp_path):
     """torch ↔ npz conversion CLI: an npz exported to a torch pickle and
     re-imported must round-trip every leaf bit-exactly."""

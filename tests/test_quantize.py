@@ -202,6 +202,14 @@ def test_feature_extractor_int8(tmp_path):
     q.update_variables({"params": v["params"], "batch_stats": v["batch_stats"]})
     assert q.quant_scales is None
 
+    # an empty extract must NOT latch calibration from the all-zero padded
+    # batch — the next real extract calibrates on real data
+    empty = q.extract([])
+    assert empty.shape[0] == 0 and q.quant_scales is None
+    f_q2 = q.extract(table)
+    assert q.quant_scales is not None
+    assert _cos(f_q2, f_fp).min() > 0.995
+
 
 class OneDense(nn.Module):
     features: int = 256

@@ -80,6 +80,17 @@ def main():
 
     img_size = (256, 128)
     mesh = make_mesh()
+    if args.gelu_approx:
+        # same loud check as the eval CLI — the factory's **kw would
+        # otherwise silently drop the flag for non-ViT models and this
+        # tool would print timings the flag never affected
+        from daliid_tpu.models.factory import GELU_APPROX_MODELS
+
+        if args.model not in GELU_APPROX_MODELS:
+            raise SystemExit(
+                f"--gelu_approx only applies to {sorted(GELU_APPROX_MODELS)}; "
+                f"got --model {args.model}"
+            )
     model_kw = {"gelu_approx": True} if args.gelu_approx else {}
     bundle = get_model(args.model, jax.random.key(0), img_size=img_size,
                        dtype=jnp.bfloat16, **model_kw)
@@ -93,27 +104,10 @@ def main():
 
     quant_scales = None
     if args.quantize == "int8":
-        import flax.linen as nn
+        from daliid_tpu.ops.quantize import calibrate
 
-        from daliid_tpu.ops.quantize import (
-            STATS_COLLECTION,
-            calibration_interceptor,
-            flatten_stats,
-        )
-
-        @jax.jit
-        def calib(variables, images_u8):
-            x = normalize_images(images_u8, dtype=jnp.bfloat16)
-            with nn.intercept_methods(calibration_interceptor):
-                _, stats = module.apply(
-                    variables, x, train=False, mutable=[STATS_COLLECTION]
-                )
-            return stats
-
-        stats = jax.device_get(calib(variables, imgs))
-        quant_scales = {
-            k: float(v) for k, v in flatten_stats(stats[STATS_COLLECTION]).items()
-        }
+        x = jax.jit(lambda u8: normalize_images(u8, dtype=jnp.bfloat16))(imgs)
+        quant_scales = calibrate(module, variables, x, train=False)
         print(f"int8 calibration: {len(quant_scales)} convs")
 
     @jax.jit
