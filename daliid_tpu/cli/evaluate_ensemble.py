@@ -34,6 +34,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--img_width", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument(
+        "--quantize", type=str, default=None, choices=["int8"],
+        help="int8 post-training quantization for both models' extraction, "
+             "calibrated per model on its first batch (ops/quantize.py)",
+    )
     add_multihost_flags(p)
     return p
 
@@ -55,7 +60,10 @@ def main(args):
         ("model02", args.model_name02, args.model_path02),
     ):
         bundle = load_bundle(name, path, img_size, dtype)
-        ex = FeatureExtractor(bundle, img_size=img_size, batch_size=args.batch_size)
+        ex = FeatureExtractor(
+            bundle, img_size=img_size, batch_size=args.batch_size,
+            quantize=getattr(args, "quantize", None),
+        )
         q = ex.extract(queries, verbose=True)
         g = ex.extract(gallery, verbose=True)
         d = cosine_distance_matrix(jnp.asarray(q), jnp.asarray(g))

@@ -50,6 +50,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--roc_version", type=str, default=None, help="dump FPR/TPR arrays with this tag")
+    p.add_argument(
+        "--quantize", type=str, default=None, choices=["int8"],
+        help="int8 post-training quantization for extraction, calibrated per "
+             "(model, pooling) on its first batch (ops/quantize.py). Note the "
+             "magnitude-weighted variants fuse on raw feature NORMS, which "
+             "int8 perturbs by O(1e-3) relative — acceptable for the "
+             "max(q,g) weighting but not bit-identical to fp",
+    )
     add_multihost_flags(p)
     return p
 
@@ -94,7 +102,10 @@ def main(args):
             module=pooled_module, variables=bundle.variables,
             feature_dim=bundle.feature_dim, name=bundle.name,
         )
-        ex = FeatureExtractor(b, img_size=img_size, batch_size=args.batch_size)
+        ex = FeatureExtractor(
+            b, img_size=img_size, batch_size=args.batch_size,
+            quantize=getattr(args, "quantize", None),
+        )
         return ex.extract(table)
 
     # base embeddings (gap+gmp "both" pooling, the training-time head)

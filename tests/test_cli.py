@@ -71,6 +71,21 @@ def test_ensemble_cli(data_root):
     assert {"model01", "model02", "ensemble"} <= set(results)
 
 
+def test_ensemble_cli_int8(data_root):
+    """--quantize int8 is wired through the ensemble CLI (each model
+    calibrates lazily on its first batch); same for the fusion CLI's parser."""
+    argv = ["--dataset", "Market", "--data_root", data_root,
+            "--model_name01", "deit_small", "--model_name02", "deit_small",
+            "--img_height", "32", "--img_width", "16", "--batch_size", "16",
+            "--compute_dtype", "float32", "--quantize", "int8"]
+    args = ens_cli.build_argparser().parse_args(argv)
+    results = ens_cli.main(args)
+    assert {"model01", "model02", "ensemble"} <= set(results)
+    assert 0.0 <= results["ensemble"]["mAP"] <= 1.0
+    assert fus_cli.build_argparser().parse_args(
+        ["--dataset", "Market", "--quantize", "int8"]).quantize == "int8"
+
+
 def test_fusion_cli(data_root):
     args = argparse.Namespace(
         dataset="Market", data_root=data_root, model_name="resnet50",
