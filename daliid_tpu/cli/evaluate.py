@@ -67,9 +67,10 @@ def build_argparser() -> argparse.ArgumentParser:
              "(cfg.MODEL.SIE_CAMERA equivalent; must match the checkpoint)",
     )
     p.add_argument(
-        "--sharded_eval", action="store_true", default=None,
+        "--sharded_eval", action=argparse.BooleanOptionalAction, default=None,
         help="rank each query shard on its own device (no full distmat on "
-             "one chip; default: automatic on a multi-device mesh)",
+             "one chip; default: automatic on a multi-device mesh; "
+             "--no-sharded_eval forces the replicated full-distmat path)",
     )
     p.add_argument(
         "--sie_coef", type=float, default=1.5,
@@ -125,6 +126,11 @@ def main(args):
         raise SystemExit(
             f"--gelu_approx only applies to {sorted(GELU_APPROX_MODELS)}; "
             f"{args.model_name} has no GELU"
+        )
+    if getattr(args, "sie_coef", 1.5) != 1.5 and not getattr(args, "sie_cameras", 0):
+        raise SystemExit(
+            "--sie_coef only takes effect with --sie_cameras > 0; "
+            "without SIE embeddings the coefficient is unused"
         )
     if getattr(args, "rerank", False) and args.multiple_output:
         raise SystemExit("--rerank supports single-output evaluation only")
@@ -207,13 +213,16 @@ def main(args):
             verbose=True,
         )
 
-        def report(tag, distmat):
-            cmc, mAP = validator.rank(distmat, queries, gallery)
+        def report_metrics(tag, cmc, mAP):
             print(f"[{target}{tag}] mAP: {mAP:.2%}")
             for r in (1, 5, 10, 20):
                 if r <= len(cmc):
                     print(f"[{target}{tag}] Rank-{r:<3}: {cmc[r - 1]:.2%}")
             return cmc, mAP
+
+        def report(tag, distmat):
+            cmc, mAP = validator.rank(distmat, queries, gallery)
+            return report_metrics(tag, cmc, mAP)
 
         if args.multiple_output and not isinstance(q_fvs, tuple):
             raise SystemExit(
@@ -251,11 +260,7 @@ def main(args):
             # SPMD path: distance rows + ranking stay on each query's device
             # (evaluate_rank_sharded; replaces evaluate.py:291 + rank_cy)
             cmc, mAP = validator.rank_features(q_fvs, g_fvs, queries, gallery)
-            print(f"[{target}] (sharded) mAP: {mAP:.2%}")
-            for r in (1, 5, 10, 20):
-                if r <= len(cmc):
-                    print(f"[{target}] Rank-{r:<3}: {cmc[r - 1]:.2%}")
-            results[target] = (cmc, mAP)
+            results[target] = report_metrics(" (sharded)", cmc, mAP)
         else:
             distmat = validator.reranked_distance_matrix(q_fvs, g_fvs, verbose=True)
             results[target] = report("", distmat)

@@ -181,6 +181,11 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
             f"--sie_cameras only applies to {sorted(SIE_MODELS)}; "
             f"{cfg.model_name} has no SIE embedding"
         )
+    if cfg.sie_coef != 1.5 and not cfg.sie_cameras:
+        raise SystemExit(
+            "--sie_coef only takes effect with --sie_cameras != 0; "
+            "without SIE embeddings the coefficient is unused"
+        )
     sie_cameras = (
         cfg.sie_cameras if cfg.sie_cameras >= 0 else int(train_table.camids.max()) + 1
     )

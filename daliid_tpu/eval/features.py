@@ -222,13 +222,22 @@ class FeatureExtractor:
             b, imgs, valid = item
             if self.quantize is not None and self.quant_scales is None and valid > 0:
                 # Lazy int8 calibration on the first batch carrying real
-                # images. Zero-padded tail rows can't inflate the absmax
-                # stats, but an ALL-padding batch (empty extract) would
-                # latch absmax=0 scales permanently — skip those.
+                # images. u8=0 pad rows are NOT neutral — they normalize to
+                # the most extreme constant image (~-2.1 per channel) and
+                # would skew the absmax stats of a short batch — so fill the
+                # calibration batch by tiling the real rows instead. An
+                # all-padding batch (empty extract) never calibrates.
                 cams0 = None
-                if self._takes_camera_ids:
-                    cams0 = np.pad(camids[b * bs : b * bs + valid], (0, bs - valid))
-                self.calibrate(imgs, camera_ids=cams0)
+                if valid < bs:
+                    reps = -(-bs // valid)
+                    imgs_calib = np.tile(imgs[:valid], (reps, 1, 1, 1))[:bs]
+                    if self._takes_camera_ids:
+                        cams0 = np.tile(camids[b * bs : b * bs + valid], reps)[:bs]
+                else:
+                    imgs_calib = imgs
+                    if self._takes_camera_ids:
+                        cams0 = camids[b * bs : b * bs + valid]
+                self.calibrate(imgs_calib, camera_ids=cams0)
             # put_global/fetch_global keep this exact loop working when the
             # mesh spans processes (multi-host eval: same paths + seeds on
             # every host, shards contributed per process, allgather back)

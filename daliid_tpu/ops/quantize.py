@@ -147,6 +147,15 @@ def calibrate(module, variables, *args, jit: bool = True, **kwargs) -> Dict[str,
     return {k: float(v) for k, v in flat.items()}
 
 
+def _result_dtype(mod, x, w):
+    """The dtype the unquantized module would have returned: ``mod.dtype``
+    when set; otherwise flax's promote-dtype rule (``dtype=None`` promotes
+    input and param dtypes — e.g. f32 params + bf16 input → f32)."""
+    if mod.dtype is not None:
+        return mod.dtype
+    return jnp.result_type(x.dtype, w.dtype)
+
+
 def _quantized_dense(mod: nn.Dense, x: jax.Array, absmax: float | None) -> jax.Array:
     """``nn.Dense`` in int8.
 
@@ -178,8 +187,7 @@ def _quantized_dense(mod: nn.Dense, x: jax.Array, absmax: float | None) -> jax.A
     out = acc.astype(jnp.float32) * s_in * s_w  # (..., 1) x (1, out) broadcast
     if mod.use_bias:
         out = out + mod.get_variable("params", "bias").astype(jnp.float32)
-    res_dtype = mod.dtype if mod.dtype is not None else x.dtype
-    return out.astype(res_dtype)
+    return out.astype(_result_dtype(mod, x, w))
 
 
 def make_quantized_interceptor(
@@ -247,8 +255,7 @@ def make_quantized_interceptor(
         out = out.astype(jnp.float32) * (s_in * s_w[0])  # (1,1,O) broadcast
         if mod.use_bias:
             out = out + mod.get_variable("params", "bias").astype(jnp.float32)
-        res_dtype = mod.dtype if mod.dtype is not None else x.dtype
-        return out.astype(res_dtype)
+        return out.astype(_result_dtype(mod, x, w))
 
     return interceptor
 

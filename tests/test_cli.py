@@ -98,6 +98,28 @@ def test_fusion_cli(data_root):
             "magnitude_gap", "magnitude_gmp", "magnitude_both"} <= set(results)
 
 
+def test_evaluate_cli_rejects_sie_coef_without_sie(data_root):
+    """A non-default --sie_coef with SIE disabled must fail loudly instead
+    of being silently unused (review fix); same guard in the train CLI."""
+    with pytest.raises(SystemExit, match="sie_coef"):
+        eval_cli.main(_eval_args(data_root, sie_coef=3.0))
+
+
+def test_evaluate_cli_sharded_eval_tristate():
+    """--sharded_eval / --no-sharded_eval / absent → True / False / None
+    (None = automatic on a multi-device mesh); False must force the
+    replicated full-distmat path even on a mesh."""
+    base = ["--targets", "Market"]
+    p = eval_cli.build_argparser()
+    assert p.parse_args(base).sharded_eval is None
+    assert p.parse_args(base + ["--sharded_eval"]).sharded_eval is True
+    assert p.parse_args(base + ["--no-sharded_eval"]).sharded_eval is False
+
+    from daliid_tpu.eval.validate import Validator
+
+    assert Validator(sharded=False)._sharded_active() is False
+
+
 def test_evaluate_cli_rejects_sie_for_non_sie_model(data_root):
     """--sie_cameras on a backbone without SIE embeddings must fail loudly
     instead of being swallowed by the factory's **kw (review fix)."""

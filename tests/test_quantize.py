@@ -210,6 +210,18 @@ def test_feature_extractor_int8(tmp_path):
     assert q.quant_scales is not None
     assert _cos(f_q2, f_fp).min() > 0.995
 
+    # a short first batch must calibrate on the real rows TILED to the
+    # batch, not on zero padding (u8=0 rows normalize to the most extreme
+    # constant image and would skew the absmax stats): scales from a
+    # 1-image extract equal scales from that image explicitly tiled
+    q_short = FeatureExtractor(bundle, img_size=IMG, batch_size=8, quantize="int8")
+    one = q_short.extract(table.paths[:1])
+    assert one.shape[0] == 1 and q_short.quant_scales is not None
+    q_ref = FeatureExtractor(bundle, img_size=IMG, batch_size=8, quantize="int8")
+    img = q_ref._decode_paths([str(table.paths[0])])
+    q_ref.calibrate(np.tile(img, (8, 1, 1, 1)))
+    assert q_short.quant_scales == q_ref.quant_scales
+
 
 class OneDense(nn.Module):
     features: int = 256
@@ -218,6 +230,27 @@ class OneDense(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         return nn.Dense(self.features, use_bias=self.use_bias, name="fc")(x)
+
+
+def test_int8_dtype_none_promotes_like_flax():
+    """Modules built with dtype=None must return flax's promoted dtype
+    (f32 params + bf16 input → f32), not the input's bf16 — otherwise the
+    quantized path silently drops precision the fp path kept (review fix)."""
+    rng = np.random.default_rng(3)
+    md = OneDense(features=192)
+    x32 = jnp.asarray(rng.standard_normal((4, 160)), jnp.float32)
+    vd = md.init(jax.random.key(0), x32)  # f32 params, dtype=None module
+    xb = x32.astype(jnp.bfloat16)
+    assert md.apply(vd, xb).dtype == jnp.float32  # flax promote rule
+    assert quantized_apply(md, vd, {}, xb).dtype == jnp.float32
+
+    mc = OneConv(features=8)
+    xc = jnp.asarray(rng.standard_normal((1, 4, 4, 16)), jnp.float32)
+    vc = mc.init(jax.random.key(1), xc)
+    scales = calibrate(mc, vc, xc)
+    xcb = xc.astype(jnp.bfloat16)
+    assert mc.apply(vc, xcb).dtype == jnp.float32
+    assert quantized_apply(mc, vc, scales, xcb).dtype == jnp.float32
 
 
 @pytest.mark.parametrize("mode", ["dynamic", "static"])
