@@ -6,6 +6,18 @@ or more encoders, embed the whole train set, rank by (averaged) cosine
 similarity, return the top-K closest rows. The reference streams batch-wise
 similarities on the host; here it's one device matmul over pre-extracted
 features.
+
+Note on oracle testing: unlike the losses/trainer/validator, these two
+reference functions cannot be run as a literal in-test oracle — they are
+dead code upstream. Both reference bare ``transform_person`` /
+``transform_vehicle`` names that are never defined at module scope in
+``getFeatures.py`` (only ``sample.__init__`` builds a ``self.transform_person``,
+``getFeatures.py:18``), so the first call raises ``NameError``; they also call
+``sample(train_set)`` against the 6-argument ``sample.__init__``
+(``getFeatures.py:12``). This module reconstructs the evident intent (the
+similarity math at ``getFeatures.py:286-299,338-346`` is well-defined once
+features exist) and is behavior-tested in
+``tests/test_multihead_subset_briar.py``.
 """
 
 from __future__ import annotations
