@@ -231,6 +231,10 @@ def make_quantized_interceptor(
         absmax = scales.get(path)
         if absmax is None or absmax <= 0.0 or (skip is not None and skip(path)):
             return next_fun(*args, **kwargs)
+        if getattr(mod, "mask", None) is not None:
+            # a masked conv's kernel mask would be silently dropped by the
+            # raw lax call below — keep it in the original dtype instead
+            return next_fun(*args, **kwargs)
 
         x = args[0]
         w = mod.get_variable("params", "kernel")  # HWIO
