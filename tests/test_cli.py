@@ -292,3 +292,28 @@ def test_evaluate_cli_flag_combinations_fail_loudly(data_root):
         eval_cli.main(_eval_args(data_root, head_weighting="magnitude"))
     with pytest.raises(SystemExit, match="multi-head"):
         eval_cli.main(_eval_args(data_root, multiple_output=True))
+
+
+def test_umbrella_entry_point():
+    """`python -m daliid_tpu <cmd>` dispatches to the cli modules; unknown
+    commands and bare invocation fail with usage (exit 2), --help exits 0."""
+    import daliid_tpu.__main__ as um
+
+    with pytest.raises(SystemExit) as e:
+        um.main(["--help"])
+    assert e.value.code == 0
+    with pytest.raises(SystemExit) as e:
+        um.main([])
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        um.main(["frobnicate"])
+    assert e.value.code == 2
+    # a real dispatch: stats --help must run cli.stats's argparse (exit 0)
+    with pytest.raises(SystemExit) as e:
+        um.main(["stats", "--help"])
+    assert e.value.code == 0
+    # every advertised command resolves to an importable module
+    import importlib
+
+    for name, (mod, _) in um.COMMANDS.items():
+        assert importlib.import_module(f"daliid_tpu.{mod}")
