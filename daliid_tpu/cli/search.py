@@ -43,6 +43,14 @@ def build_argparser() -> argparse.ArgumentParser:
         help="int8 post-training quantization for probe/gallery extraction, "
              "calibrated lazily on the first batch (ops/quantize.py)",
     )
+    p.add_argument(
+        "--index_quantize", type=str, default=None, choices=["int8", "off"],
+        help="'int8' stores the device-resident gallery as per-row symmetric "
+             "int8 (4x enrolled identities per chip of HBM; probe scores run "
+             "the MXU's double-rate int8 mode — eval/matcher.py); 'off' "
+             "forces f32 when --load_index carries a saved int8 mode; "
+             "default keeps the saved mode (f32 for fresh galleries)",
+    )
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--save_index", type=str, default=None, help="save gallery embeddings to .npz")
     p.add_argument("--load_index", type=str, default=None, help="load gallery embeddings from .npz")
@@ -66,13 +74,19 @@ def main(args):
         quantize=getattr(args, "quantize", None),
     )
 
+    flag = getattr(args, "index_quantize", None)
+    index_quantize = None if flag == "off" else flag
     if args.load_index:
-        # one schema with GalleryIndex.save (legacy 'embeddings' accepted)
-        index = GalleryIndex.load(args.load_index)
+        # one schema with GalleryIndex.save (legacy 'embeddings' accepted);
+        # an explicit --index_quantize overrides the saved mode
+        index = GalleryIndex.load(
+            args.load_index,
+            quantize="auto" if flag is None else index_quantize,
+        )
         print(f"Loaded index: {index.num_gallery} entries from {args.load_index}")
     else:
         g_fvs = extractor.extract(gallery, verbose=True)
-        index = GalleryIndex(g_fvs, gallery_pids=gallery.pids)
+        index = GalleryIndex(g_fvs, gallery_pids=gallery.pids, quantize=index_quantize)
         if args.save_index:
             index.save(args.save_index)
             print(f"Saved index ({index.num_gallery} entries) to {args.save_index}")

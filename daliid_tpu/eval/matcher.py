@@ -10,6 +10,15 @@ over the ``data`` mesh axis, and answers probes with one fused program:
 implemented with ``shard_map`` so the collective is explicit and rides ICI
 (SURVEY.md §2.3's TPU plan). Single-chip meshes degenerate to a plain
 matmul + top_k.
+
+``quantize="int8"`` stores the device-resident gallery as symmetric
+per-row int8 (scalar quantization): 4x the enrolled identities per chip of
+HBM, and the probe·gallery scores run in the MXU's double-rate
+int8 x int8 → int32 mode. Cosine error from SQ8 on L2-normalized rows is
+bounded by ~D·(absmax/127)·quant-noise — a few 1e-3 at ReID feature dims —
+far inside typical identity margins (parity pinned by
+tests/test_matcher.py). The host-side f32 copy backing add/remove and
+save/load is unchanged, so enrollment churn and persistence are exact.
 """
 
 from __future__ import annotations
@@ -24,6 +33,14 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from daliid_tpu.parallel.mesh import make_mesh
 
 
+def _quantize_rows(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-row int8: q = round(x / s), s = absmax/127 per row."""
+    scale = np.abs(x).max(axis=1) / 127.0
+    scale = np.maximum(scale, 1e-12).astype(np.float32)
+    q = np.clip(np.rint(x / scale[:, None]), -127, 127).astype(np.int8)
+    return q, scale
+
+
 class GalleryIndex:
     """Device-resident searchable gallery with incremental enrollment.
 
@@ -35,7 +52,11 @@ class GalleryIndex:
     padded shape actually grows (log-many compiles over any insert
     sequence), never per ``add``."""
 
-    def __init__(self, gallery_fvs: np.ndarray, gallery_pids=None, mesh=None):
+    def __init__(self, gallery_fvs: np.ndarray, gallery_pids=None, mesh=None,
+                 quantize: str | None = None):
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+        self.quantize = quantize
         self.mesh = mesh if mesh is not None else make_mesh()
         g = np.asarray(gallery_fvs, np.float32)
         g = g / (np.linalg.norm(g, axis=1, keepdims=True) + 1e-12)
@@ -50,6 +71,14 @@ class GalleryIndex:
         per_shard = -(-max(self.num_gallery, 1) // n_dev)
         per_shard = 1 << (per_shard - 1).bit_length()  # next power of two
         pad = n_dev * per_shard - self.num_gallery
+        if self.quantize == "int8":
+            q, scale = _quantize_rows(g_norm)
+            if pad:
+                q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.int8)])
+                scale = np.concatenate([scale, np.zeros(pad, np.float32)])
+            self._gallery = jax.device_put(q, NamedSharding(self.mesh, P("data", None)))
+            self._gallery_scale = jax.device_put(scale, NamedSharding(self.mesh, P("data")))
+            return
         g = np.concatenate([g_norm, np.zeros((pad, g_norm.shape[1]), np.float32)]) if pad else g_norm
         self._gallery = jax.device_put(g, NamedSharding(self.mesh, P("data", None)))
 
@@ -75,23 +104,39 @@ class GalleryIndex:
         payload = {"gallery": self._host_gallery}
         if self.gallery_pids is not None:
             payload["pids"] = self.gallery_pids
+        if self.quantize is not None:
+            payload["quantize"] = np.str_(self.quantize)
         np.savez(path, **payload)
 
     @classmethod
-    def load(cls, path: str, mesh=None) -> "GalleryIndex":
+    def load(cls, path: str, mesh=None, quantize: str | None = "auto") -> "GalleryIndex":
+        """``quantize="auto"`` restores the saved index's mode; pass None /
+        "int8" to override."""
         with np.load(path) as z:
             # 'embeddings' = the cli/search.py save format of earlier rounds
             g = z["gallery"] if "gallery" in z.files else z["embeddings"]
             pids = z["pids"] if "pids" in z.files else None
-            return cls(g, pids, mesh=mesh)
+            if quantize == "auto":
+                quantize = str(z["quantize"]) if "quantize" in z.files else None
+            return cls(g, pids, mesh=mesh, quantize=quantize)
 
     def _build_search(self):
         mesh = self.mesh
+        quantized = self.quantize == "int8"
 
-        def local_search(q, g_local, num_real, k):
+        def local_search(q, q_scale, g_local, g_scale, num_real, k):
             # q replicated (Q, D); g_local (G/n, D) this shard's rows
             shard_size = g_local.shape[0]
-            sims = jnp.dot(q, g_local.T, preferred_element_type=jnp.float32)
+            if quantized:
+                # int8 x int8 → int32 (MXU double-rate), then the two
+                # per-row symmetric scales restore the cosine
+                acc = jax.lax.dot_general(
+                    q, g_local, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                sims = acc.astype(jnp.float32) * q_scale[:, None] * g_scale[None, :]
+            else:
+                sims = jnp.dot(q, g_local.T, preferred_element_type=jnp.float32)
             shard_idx = jax.lax.axis_index("data")
             base = shard_idx * shard_size
             col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + base
@@ -111,15 +156,15 @@ class GalleryIndex:
             return mvals, midx
 
         @functools.partial(jax.jit, static_argnames=("k",))
-        def search(q, gallery, num_real, k):
+        def search(q, q_scale, gallery, g_scale, num_real, k):
             fn = jax.shard_map(
                 functools.partial(local_search, k=k),
                 mesh=mesh,
-                in_specs=(P(), P("data", None), P()),
+                in_specs=(P(), P(), P("data", None), P("data"), P()),
                 out_specs=(P(), P()),
                 check_vma=False,
             )
-            return fn(q, gallery, num_real)
+            return fn(q, q_scale, gallery, g_scale, num_real)
 
         return search
 
@@ -132,8 +177,16 @@ class GalleryIndex:
         q = np.asarray(probe_fvs, np.float32)
         q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
         k = min(k, self.num_gallery)
+        if self.quantize == "int8":
+            q, q_scale = _quantize_rows(q)
+            g_scale = self._gallery_scale
+        else:
+            # zero-size placeholders keep one jitted search signature
+            q_scale = np.zeros(q.shape[0], np.float32)
+            g_scale = jnp.zeros(self._gallery.shape[0], jnp.float32)
         vals, idx = self._search(
-            jnp.asarray(q), self._gallery, jnp.int32(self.num_gallery), k
+            jnp.asarray(q), jnp.asarray(q_scale), self._gallery, g_scale,
+            jnp.int32(self.num_gallery), k
         )
         vals, idx = np.asarray(vals), np.asarray(idx)
         if self.gallery_pids is not None:

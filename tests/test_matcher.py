@@ -81,6 +81,59 @@ def test_gallery_index_add_remove_save_load(tmp_path, rng):
     np.testing.assert_array_equal(p5, p3)
 
 
+def test_int8_index_matches_f32_retrieval(rng):
+    """SQ8 gallery: identical top-k retrieval on identity-margin data and
+    cosine scores within the per-row quantization error bound."""
+    D, ids, per = 128, 12, 6
+    centers = _l2n(rng.normal(size=(ids, D)).astype(np.float32))
+    gallery = np.repeat(centers, per, axis=0) + 0.05 * rng.normal(
+        size=(ids * per, D)
+    ).astype(np.float32)
+    pids = np.repeat(np.arange(ids), per)
+    probes = centers + 0.05 * rng.normal(size=(ids, D)).astype(np.float32)
+
+    fp = GalleryIndex(gallery, pids)
+    q8 = GalleryIndex(gallery, pids, quantize="int8")
+    v_fp, i_fp, p_fp = fp.search(probes, k=per)
+    v_q8, i_q8, p_q8 = q8.search(probes, k=per)
+
+    # identity decisions unchanged; scores within the SQ8 error band
+    np.testing.assert_array_equal(p_fp[:, 0], p_q8[:, 0])
+    np.testing.assert_array_equal(np.sort(i_fp, axis=1), np.sort(i_q8, axis=1))
+    np.testing.assert_allclose(v_q8, v_fp, atol=0.02)
+
+
+def test_int8_index_add_remove_save_load(tmp_path, rng):
+    """Enrollment churn re-quantizes from the exact f32 host copy; save/load
+    round-trips the quantize mode (and --index_quantize off can override)."""
+    d = 64
+    g0 = rng.normal(size=(10, d)).astype(np.float32)
+    g1 = rng.normal(size=(6, d)).astype(np.float32)
+    probes = rng.normal(size=(3, d)).astype(np.float32)
+    idx = GalleryIndex(g0, np.arange(10), quantize="int8")
+    idx.add(g1, np.arange(100, 106))
+    fresh = GalleryIndex(
+        np.concatenate([g0, g1]), np.arange(16), quantize="int8"
+    )
+    v1, i1, _ = idx.search(probes, k=5)
+    v2, i2, _ = fresh.search(probes, k=5)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
+
+    path = str(tmp_path / "index_q8.npz")
+    idx.save(path)
+    back = GalleryIndex.load(path)
+    assert back.quantize == "int8"
+    v3, i3, _ = back.search(probes, k=5)
+    np.testing.assert_allclose(v3, v1, rtol=1e-6)
+    np.testing.assert_array_equal(i3, i1)
+    # saved host copy stays exact f32 → forcing quantize off recovers fp
+    fp = GalleryIndex.load(path, quantize=None)
+    assert fp.quantize is None
+    v4, _, _ = fp.search(probes, k=5)
+    np.testing.assert_allclose(v4, v1, atol=0.02)
+
+
 def test_gallery_index_remove_nothing_and_search_fn_stable(rng):
     """remove([]) is a no-op (review fix: float64 empty index array), and
     enrollment reuses one jitted search (no per-add closure rebuild)."""

@@ -2,18 +2,42 @@
 
 Measures single-probe latency and batched-probe throughput against a
 device-resident 15,913 x 2048 gallery (the identification-service shape of
-cli/search.py) on the real chip.
+cli/search.py) on the real chip — for both the f32 index and the SQ8
+(``quantize="int8"``) index, whose gallery rows live in HBM at 1 byte/dim
+and whose probe scores run the MXU's double-rate int8 mode.
 
-Usage: python tools/bench_search_latency.py
+``--capacity`` additionally builds a 2^22-row (4.19M identity) int8 index —
+8.6 GB of HBM where the f32 equivalent (34 GB) cannot exist on a 16 GB v5e
+chip — and measures search latency at that scale. The upload rides this
+harness's ~29 MB/s tunnel (BENCH.md §fed), so enrollment takes minutes here;
+on a real PCIe host it is seconds.
+
+Usage: python tools/bench_search_latency.py [--capacity]
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _bench_index(index, rng, D, K, label):
+    import numpy as np
+
+    for nq in (1, 64, 512):
+        probes = rng.normal(size=(nq, D)).astype(np.float32)
+        index.search(probes, k=K)  # warm/compile
+        iters = 50 if nq == 1 else 20
+        t0 = time.time()
+        for _ in range(iters):
+            out = index.search(probes, k=K)
+        dt = (time.time() - t0) / iters
+        print(f"[{label}] search batch={nq:4d} k={K}: {dt * 1e3:7.2f} ms "
+              f"({nq / dt:9.0f} probes/s)")
 
 
 def main():
@@ -24,28 +48,27 @@ def main():
 
     from daliid_tpu.eval.matcher import GalleryIndex
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--capacity", action="store_true",
+                    help="also build the 2^22-row int8 index (8.6 GB HBM)")
+    args = ap.parse_args()
+
     NG, D, K = 15_913, 2048, 10
     rng = np.random.default_rng(12)
-    index = GalleryIndex(
-        rng.normal(size=(NG, D)).astype(np.float32), rng.integers(0, 751, NG)
-    )
+    gallery = rng.normal(size=(NG, D)).astype(np.float32)
+    pids = rng.integers(0, 751, NG)
 
-    for nq in (1, 64, 512):
-        probes = rng.normal(size=(nq, D)).astype(np.float32)
-        index.search(probes, k=K)  # warm/compile
-        iters = 50 if nq == 1 else 20
-        t0 = time.time()
-        for _ in range(iters):
-            out = index.search(probes, k=K)
-        dt = (time.time() - t0) / iters
-        print(f"search batch={nq:4d} k={K}: {dt * 1e3:7.2f} ms "
-              f"({nq / dt:9.0f} probes/s)")
+    for quantize in (None, "int8"):
+        label = quantize or "f32"
+        index = GalleryIndex(gallery, pids, quantize=quantize)
+        _bench_index(index, rng, D, K, label)
 
     # enrollment churn: adds amortize to log-many recompiles. Each add ends
     # in an async device_put of the re-sharded gallery — block on the final
     # buffer so the measured time includes the in-flight uploads.
     import jax
 
+    index = GalleryIndex(gallery, pids)
     t0 = time.time()
     for i in range(32):
         index.add(rng.normal(size=(1, D)).astype(np.float32), np.asarray([1000 + i]))
@@ -54,6 +77,33 @@ def main():
     out = index.search(rng.normal(size=(1, D)).astype(np.float32), k=K)
     print(f"32 single-row enrollments: {dt * 1e3:.1f} ms total "
           f"({dt / 32 * 1e3:.2f} ms/add); index now {index.num_gallery} rows")
+
+    if not args.capacity:
+        return
+    del index
+    NG_BIG = 1 << 22  # 4,194,304 rows = exactly one power-of-two shard
+    print(f"building {NG_BIG:,} x {D} int8 index "
+          f"({NG_BIG * D / 2**30:.1f} GiB HBM; f32 would need "
+          f"{NG_BIG * D * 4 / 2**30:.0f} GiB — over a v5e's 16 GiB)...")
+    t0 = time.time()
+    big = rng.random(size=(NG_BIG, D), dtype=np.float32)
+    big -= 0.5
+    print(f"  host gallery generated in {time.time() - t0:.1f} s")
+    t0 = time.time()
+    index = GalleryIndex(big, quantize="int8")
+    jax.block_until_ready(index._gallery)
+    print(f"  quantize + upload in {time.time() - t0:.1f} s "
+          f"(tunnel-bound in this harness)")
+    for nq in (1, 64):
+        probes = rng.random(size=(nq, D), dtype=np.float32) - 0.5
+        index.search(probes, k=K)  # warm/compile
+        iters = 20
+        t0 = time.time()
+        for _ in range(iters):
+            index.search(probes, k=K)
+        dt = (time.time() - t0) / iters
+        print(f"[int8 4.19M-row] search batch={nq:4d} k={K}: {dt * 1e3:7.2f} ms "
+              f"({nq / dt:9.0f} probes/s)")
 
 
 if __name__ == "__main__":
