@@ -16,6 +16,10 @@ import sys
 
 COMMANDS = {
     "train": ("cli.train", "train a model pair (mainKIT.py)"),
+    "supervise": (
+        "cli.supervise",
+        "run cli.train under auto crash-resume supervision",
+    ),
     "evaluate": ("cli.evaluate", "single-model evaluation (evaluate.py)"),
     "evaluate-ensemble": (
         "cli.evaluate_ensemble",

@@ -65,6 +65,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--skip_initial_eval", action="store_true")
     p.add_argument(
+        "--fault_inject_epoch", type=int, default=0,
+        help="fault-injection drill for the crash-resume path: crash (exit "
+             "nonzero) after training epoch N but BEFORE its crash-resume "
+             "checkpoint is written, so a --resume (or cli.supervise) must "
+             "re-train it; fires only on non-resumed runs so the recovered "
+             "run completes. 0 disables",
+    )
+    p.add_argument(
         "--num_classes", type=int, default=0,
         help="classifier head size for classifier/JPM models; -1 = #train ids",
     )
@@ -132,7 +140,7 @@ def config_from_args(args) -> TrainConfig:
 
 
 def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False, num_iter: int = 1,
-         momentum_on_feature_extraction: bool = False):
+         momentum_on_feature_extraction: bool = False, fault_inject_epoch: int = 0):
     from daliid_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -331,8 +339,18 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
                 json.dump(progress, f, indent=2)
             print(f"Best R1: {best_r1 * 100:.2f} and best iter: {best_iter}")
 
+        if fault_inject_epoch and epoch == fault_inject_epoch and not resume:
+            # drill hook for cli/supervise.py: die before this epoch's
+            # crash-resume save lands, so recovery must re-train it
+            raise RuntimeError(
+                f"fault injection: simulated crash after epoch {epoch} "
+                f"(--fault_inject_epoch)"
+            )
+
         if latest_ckpt is not None and epoch % cfg.ckpt_freq == 0:
-            latest_ckpt.save(epoch, trainer.state, rng=trainer.rng_state())
+            # wait=True: this is the durability channel — an async save that
+            # hasn't finalized is lost to a crash (supervise drill finding)
+            latest_ckpt.save(epoch, trainer.state, rng=trainer.rng_state(), wait=True)
 
     total = time.time() - t0_pipeline
     # phase totals (the reference's accounting prints, mainKIT.py:193-201)
@@ -349,4 +367,5 @@ if __name__ == "__main__":
     maybe_initialize_from_args(args)
     main(config_from_args(args), resume=args.resume, skip_initial_eval=args.skip_initial_eval,
          num_iter=args.num_iter,
-         momentum_on_feature_extraction=bool(args.momentum_on_feature_extraction))
+         momentum_on_feature_extraction=bool(args.momentum_on_feature_extraction),
+         fault_inject_epoch=args.fault_inject_epoch)

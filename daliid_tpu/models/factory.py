@@ -142,6 +142,19 @@ def _deit_small(dtype=jnp.float32, img_size=(256, 128), gelu_approx=False, **kw)
     return m, 384
 
 
+@register_model("tiny_vit_smoke")
+def _tiny_vit_smoke(dtype=jnp.float32, img_size=(32, 16), **kw):
+    """One-block 32-d ViT for pipeline smoke runs and failure drills
+    (cli/supervise.py recovery tests, CI) — not a reference model; builds in
+    milliseconds so subprocess-spawning drills stay cheap."""
+    from daliid_tpu.models.vit import ViTReID
+
+    m = ViTReID(img_size=tuple(img_size), patch_size=8, patch_stride=8,
+                embed_dim=32, depth=1, num_heads=2, drop_path_rate=0.0,
+                dtype=dtype)
+    return m, 32
+
+
 @register_model("transreid_jpm")
 def _transreid_jpm(dtype=jnp.float32, img_size=(256, 128), sie_cameras=0, sie_views=0,
                    sie_coef=1.5, num_classes=0, id_loss_type="softmax", margin_s=None,

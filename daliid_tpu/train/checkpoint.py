@@ -67,9 +67,18 @@ class CheckpointManager:
         state: TrainState,
         metrics: Dict[str, float] | None = None,
         rng: Dict[str, np.ndarray] | None = None,
+        wait: bool = False,
     ):
         """``rng`` is :meth:`Trainer.rng_state` — when provided, a resumed
-        run replays the exact random stream of a continuous one."""
+        run replays the exact random stream of a continuous one.
+
+        ``wait=True`` blocks until the checkpoint is durably committed (the
+        atomic rename out of ``.orbax-checkpoint-tmp``). The crash-resume
+        channel MUST pass it: orbax's background finalize is not guaranteed
+        to run before an abnormal exit, so an async save can survive only as
+        an unreadable tmp dir — observed in the cli/supervise.py fault
+        drill, where an epoch's save launched ~1.5 s before the injected
+        crash was still uncommitted."""
         rng_payload = _zero_rng()
         if rng is not None:
             rng_payload.update({k: np.asarray(v) for k, v in rng.items()})
@@ -84,10 +93,12 @@ class CheckpointManager:
             args=ocp.args.StandardSave(payload),
             metrics={k: float(v) for k, v in (metrics or {}).items()},
         )
-        # No wait here: orbax's async checkpointer snapshots the arrays to
-        # host synchronously and streams to disk in the background, so a
-        # per-epoch crash-resume save (--ckpt_freq 1) overlaps the next
-        # epoch instead of blocking it. Readers below wait first.
+        if wait:
+            self._mgr.wait_until_finished()
+        # else: orbax snapshots the arrays to host synchronously and streams
+        # to disk in the background, overlapping the next epoch (fine for
+        # best-metric snapshots, whose npz twins are written sync anyway).
+        # Readers below wait first.
 
     def restore(self, epoch: int | None = None, template_state: TrainState | None = None):
         """→ (TrainState, epoch, rng | None). ``epoch=None`` restores the

@@ -199,6 +199,63 @@ def test_train_cli_crash_resume(data_root, tmp_path, capsys):
     assert os.path.isdir(str(tmp_path / "ckpt" / "latest" / "3"))
 
 
+def test_supervise_cli_auto_resume(data_root, tmp_path, capfd, monkeypatch):
+    """Failure drill: --fault_inject_epoch crashes the trainer after epoch 2
+    (before its crash-resume save); the supervisor detects the failure,
+    relaunches with --resume, and the recovered run finishes all 3 epochs.
+    Exercises cli/supervise.py end-to-end with real OS subprocesses."""
+    from daliid_tpu.cli import supervise as sup_cli
+
+    # child trainers must run the virtual CPU platform, not claim the chip
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+
+    argv = [
+        "--max_restarts", "2", "--backoff_seconds", "0", "--",
+        "--dataset", "Market", "--data_root", data_root,
+        "--img_height", "32", "--img_width", "16",
+        "--model_name", "tiny_vit_smoke", "--epochs", "3",
+        "--P", "3", "--K", "2", "--eval_freq", "100", "--ckpt_freq", "1",
+        "--kind_of_transform", "0", "--compute_dtype", "float32",
+        "--extractor_batch", "16", "--skip_initial_eval",
+        "--fault_inject_epoch", "2",
+        "--path_to_save_models", str(tmp_path / "ckpt"),
+        "--path_to_save_metrics", str(tmp_path / "metrics"),
+    ]
+    rc = sup_cli.main(sup_cli.build_argparser().parse_args(argv))
+    assert rc == 0
+    cap = capfd.readouterr()
+    out = cap.out + cap.err  # the child's crash traceback lands on stderr
+    assert "fault injection: simulated crash after epoch 2" in out
+    assert "[supervise] attempt 2" in out
+    assert "Resumed from epoch 1" in out  # epoch 2's save was lost to the crash
+    assert "[supervise] training completed after 2 attempt(s)" in out
+    # the recovered run re-trained epoch 2 and finished epoch 3
+    assert os.path.isdir(str(tmp_path / "ckpt" / "latest" / "3"))
+
+
+def test_supervise_cli_gives_up_without_progress(tmp_path, capfd, monkeypatch):
+    """A deterministic crash loop (bad dataset root → dies before any
+    checkpoint) stops after max_restarts futile relaunches."""
+    from daliid_tpu.cli import supervise as sup_cli
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    argv = [
+        "--max_restarts", "1", "--backoff_seconds", "0", "--",
+        "--dataset", "Market", "--data_root", str(tmp_path / "nowhere"),
+        "--model_name", "tiny_vit_smoke", "--epochs", "1",
+        "--path_to_save_models", str(tmp_path / "ckpt"),
+        "--path_to_save_metrics", str(tmp_path / "metrics"),
+    ]
+    rc = sup_cli.main(sup_cli.build_argparser().parse_args(argv))
+    assert rc != 0
+    cap = capfd.readouterr()
+    out = cap.out + cap.err
+    assert "[supervise] attempt 2" in out
+    assert "[supervise] attempt 3" not in out
+
+
 def test_search_cli_end_to_end(data_root, tmp_path, capsys):
     """Serving CLI: enroll the synthetic gallery, search its query split
     (int8 extraction), save + reload the index."""
@@ -222,6 +279,14 @@ def test_search_cli_end_to_end(data_root, tmp_path, capsys):
     args2 = search_cli.build_argparser().parse_args(argv + ["--load_index", index_path])
     sims2, _, pids2 = search_cli.main(args2)
     np.testing.assert_array_equal(pids, pids2)
+
+    # SQ8 device gallery (--index_quantize): same identity decisions
+    args3 = search_cli.build_argparser().parse_args(
+        argv + ["--load_index", index_path, "--index_quantize", "int8"]
+    )
+    sims3, _, pids3 = search_cli.main(args3)
+    np.testing.assert_array_equal(pids[:, 0], pids3[:, 0])
+    np.testing.assert_allclose(sims3, sims2, atol=0.02)
 
 
 def test_export_cli_round_trip(tmp_path):
