@@ -20,6 +20,7 @@ COMMANDS = {
         "cli.supervise",
         "run cli.train under auto crash-resume supervision",
     ),
+    "serve": ("cli.serve", "persistent identification daemon (TCP JSON protocol)"),
     "evaluate": ("cli.evaluate", "single-model evaluation (evaluate.py)"),
     "evaluate-ensemble": (
         "cli.evaluate_ensemble",

@@ -1,0 +1,256 @@
+"""Persistent identification service: a TCP daemon over the serving index.
+
+The reference's deployment story stops at batch scripts (``evaluate.py``
+re-extracts the gallery on every invocation); the actual serving shape —
+a long-lived device-resident gallery with incremental enrollment and
+probe queries — is exactly :class:`~daliid_tpu.eval.matcher.GalleryIndex`'s
+API. This daemon keeps one extractor + one index alive and exposes them
+over a newline-delimited-JSON TCP protocol, so enrollment churn reuses the
+jitted search program and the compiled model forward across requests
+(amortizing the expensive first compile), and non-Python clients can drive
+the service with a plain socket.
+
+Protocol — one JSON object per line, one JSON response line per request::
+
+    {"op": "enroll", "paths": [...], "pids": [...]}        embed + add
+    {"op": "enroll", "embeddings": [[...]], "pids": [...]} pre-computed
+    {"op": "search", "paths": [...], "topk": 5}
+    {"op": "search", "embeddings": [[...]], "topk": 5}
+    {"op": "remove", "pids": [...]}                        drop identities
+    {"op": "stats"}                                        index/model info
+    {"op": "save", "path": "..."} / {"op": "load", "path": "..."}
+    {"op": "shutdown"}
+
+Responses are ``{"ok": true, ...}`` or ``{"ok": false, "error": "..."}``
+(a failed request never kills the daemon). Requests are served one at a
+time — there is one device and one jit context, so serialization is the
+honest concurrency model; run one daemon per chip and shard clients.
+
+Trust model: binds 127.0.0.1 by default; the protocol is unauthenticated
+by design (same stance as a local inference socket) — front it with your
+deployment's ingress if it must leave the host.
+
+Usage::
+
+    python -m daliid_tpu serve --model_name resnet50 --model_path w.npz \
+        --port 7788 --index_quantize int8 &
+    printf '%s\n' '{"op":"stats"}' | nc 127.0.0.1 7788
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import socketserver
+
+import numpy as np
+
+from daliid_tpu.eval.matcher import GalleryIndex
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DaliID-TPU identification daemon")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7788, help="0 = ephemeral (port is printed)")
+    p.add_argument("--model_name", type=str, default="resnet50")
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--img_height", type=int, default=256)
+    p.add_argument("--img_width", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument(
+        "--quantize", type=str, default=None, choices=["int8"],
+        help="int8 post-training quantization for the extraction forward",
+    )
+    p.add_argument(
+        "--index_quantize", type=str, default=None, choices=["int8"],
+        help="store the device gallery as per-row symmetric int8 "
+             "(4x identities per chip of HBM, MXU double-rate scoring)",
+    )
+    p.add_argument("--topk", type=int, default=10, help="default result depth")
+    p.add_argument("--load_index", type=str, default=None, help="warm-start gallery .npz")
+    return p
+
+
+class IdentificationService:
+    """The op dispatcher; transport-agnostic (the TCP layer below and the
+    in-process tests both drive :meth:`handle`)."""
+
+    def __init__(self, extractor, index: GalleryIndex | None, topk: int = 10,
+                 index_quantize: str | None = None, model_name: str | None = None):
+        self.extractor = extractor
+        self.index = index
+        self.topk = topk
+        self.index_quantize = index_quantize
+        self.model_name = model_name
+        self.shutdown_requested = False
+
+    # -- helpers ---------------------------------------------------------
+    def _embed(self, req: dict) -> np.ndarray:
+        if ("paths" in req) == ("embeddings" in req):
+            raise ValueError("provide exactly one of 'paths' or 'embeddings'")
+        if "paths" in req:
+            if self.extractor is None:
+                raise ValueError("daemon started without a model; send 'embeddings'")
+            return self.extractor.extract([str(p) for p in req["paths"]])
+        fvs = np.asarray(req["embeddings"], np.float32)
+        if fvs.ndim != 2:
+            raise ValueError(f"embeddings must be 2-D, got shape {fvs.shape}")
+        return fvs
+
+    # -- ops -------------------------------------------------------------
+    def handle(self, req: dict) -> dict:
+        try:
+            op = req.get("op")
+            fn = getattr(self, f"_op_{op}", None)
+            if op is None or fn is None:
+                raise ValueError(f"unknown op {op!r}")
+            return {"ok": True, **fn(req)}
+        except Exception as exc:  # a bad request must never kill the daemon
+            return {"ok": False, "error": f"{type(exc).__name__}: {exc}"}
+
+    def _op_enroll(self, req: dict) -> dict:
+        fvs = self._embed(req)
+        pids = req.get("pids")
+        if pids is not None and len(pids) != len(fvs):
+            raise ValueError(f"{len(pids)} pids for {len(fvs)} embeddings")
+        pids = np.asarray(pids if pids is not None else [-1] * len(fvs))
+        if self.index is None:
+            self.index = GalleryIndex(fvs, gallery_pids=pids,
+                                      quantize=self.index_quantize)
+        else:
+            self.index.add(fvs, pids)
+        return {"enrolled": int(len(fvs)), "num_gallery": int(self.index.num_gallery)}
+
+    def _op_search(self, req: dict) -> dict:
+        if self.index is None or self.index.num_gallery == 0:
+            raise ValueError("gallery is empty — enroll first")
+        fvs = self._embed(req)
+        k = int(req.get("topk", self.topk))
+        sims, ids, pids = self.index.search(fvs, k=k)
+        return {
+            "sims": np.round(sims, 6).tolist(),
+            "indices": ids.tolist(),
+            "pids": pids.tolist() if pids is not None else None,
+        }
+
+    def _op_remove(self, req: dict) -> dict:
+        if self.index is None:
+            raise ValueError("gallery is empty")
+        pids = np.asarray(req["pids"])
+        mask = np.isin(np.asarray(self.index.gallery_pids), pids)
+        self.index.remove(np.nonzero(mask)[0])
+        return {"removed": int(mask.sum()), "num_gallery": int(self.index.num_gallery)}
+
+    def _op_stats(self, req: dict) -> dict:
+        return {
+            "num_gallery": int(self.index.num_gallery) if self.index is not None else 0,
+            "index_quantize": (self.index.quantize if self.index is not None
+                               else self.index_quantize),
+            "model": self.model_name,
+        }
+
+    def _op_save(self, req: dict) -> dict:
+        if self.index is None:
+            raise ValueError("gallery is empty")
+        self.index.save(req["path"])
+        return {"path": req["path"]}
+
+    def _op_load(self, req: dict) -> dict:
+        self.index = GalleryIndex.load(req["path"])
+        return {"num_gallery": int(self.index.num_gallery)}
+
+    def _op_shutdown(self, req: dict) -> dict:
+        self.shutdown_requested = True
+        return {}
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        service: IdentificationService = self.server.service  # type: ignore[attr-defined]
+        for raw in self.rfile:
+            raw = raw.strip()
+            if not raw:
+                continue
+            try:
+                req = json.loads(raw)
+            except json.JSONDecodeError as exc:
+                resp = {"ok": False, "error": f"bad JSON: {exc}"}
+            else:
+                resp = service.handle(req)
+            self.wfile.write((json.dumps(resp) + "\n").encode())
+            self.wfile.flush()
+            if service.shutdown_requested:
+                # stop accepting; serve_forever unblocks in the server loop
+                self.server.shutdown_later()  # type: ignore[attr-defined]
+                return
+
+
+class _Server(socketserver.TCPServer):
+    """Single-threaded on purpose: one device, one jit context. ``shutdown``
+    must not be called from the handler thread itself (it deadlocks
+    serve_forever), so the handler sets a flag the serve loop polls."""
+
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr, service: IdentificationService):
+        super().__init__(addr, _Handler)
+        self.service = service
+        self._stop = False
+
+    def shutdown_later(self):
+        self._stop = True
+
+    def service_actions(self):
+        if self._stop:
+            # runs in the serve_forever loop → safe to stop from here
+            import threading
+
+            threading.Thread(target=self.shutdown, daemon=True).start()
+            self._stop = False
+
+
+def make_server(args, extractor=None) -> _Server:
+    """Build the TCP server (tests call this directly to get the port)."""
+    index = None
+    if args.load_index:
+        index = GalleryIndex.load(args.load_index)
+    service = IdentificationService(
+        extractor, index, topk=args.topk, index_quantize=args.index_quantize,
+        model_name=args.model_name if extractor is not None else None,
+    )
+    return _Server((args.host, args.port), service)
+
+
+def main(args):
+    from daliid_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from daliid_tpu.cli.evaluate import load_bundle
+    from daliid_tpu.eval.features import FeatureExtractor
+
+    img_size = (args.img_height, args.img_width)
+    bundle = load_bundle(args.model_name, args.model_path, img_size,
+                         getattr(jnp, args.compute_dtype))
+    extractor = FeatureExtractor(
+        bundle, img_size=img_size, batch_size=args.batch_size,
+        quantize=args.quantize,
+    )
+    server = make_server(args, extractor)
+    host, port = server.server_address[:2]
+    print(f"[serve] listening on {host}:{port} "
+          f"(model {args.model_name}, index_quantize {args.index_quantize})",
+          flush=True)
+    try:
+        server.serve_forever(poll_interval=0.1)
+    finally:
+        server.server_close()
+    print("[serve] shut down")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(build_argparser().parse_args()))

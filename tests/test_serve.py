@@ -1,0 +1,164 @@
+"""TCP identification daemon (cli/serve.py) driven over a real socket.
+
+The daemon is the serving counterpart of the batch CLIs: one long-lived
+extractor + GalleryIndex behind a newline-delimited-JSON protocol. These
+tests run the actual socketserver on an ephemeral port with a background
+serve_forever thread and a plain client socket — transport included, not
+just the op dispatcher.
+"""
+
+import json
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from daliid_tpu.cli import serve as serve_cli
+from daliid_tpu.data import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serveroot")
+    splits, _ = make_synthetic_dataset(
+        str(root), num_ids=4, imgs_per_id_train=2, imgs_per_id_test=3,
+        height=32, width=16, with_turbulence=False,
+    )
+    return splits
+
+
+class _Client:
+    def __init__(self, port):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=60)
+        self.rfile = self.sock.makefile("r")
+
+    def request(self, obj) -> dict:
+        self.sock.sendall((json.dumps(obj) + "\n").encode())
+        return json.loads(self.rfile.readline())
+
+    def close(self):
+        self.rfile.close()
+        self.sock.close()
+
+
+def _start(args, extractor=None):
+    server = serve_cli.make_server(args, extractor)
+    thread = threading.Thread(target=server.serve_forever,
+                              kwargs={"poll_interval": 0.05}, daemon=True)
+    thread.start()
+    return server, thread, server.server_address[1]
+
+
+def test_serve_daemon_image_flow(synth):
+    """Full image path flow: enroll the synthetic gallery, search its query
+    split, retire an identity, persist, shut down over the socket."""
+    import jax
+    import jax.numpy as jnp
+
+    from daliid_tpu.eval.features import FeatureExtractor
+    from daliid_tpu.models import get_model
+
+    img_size = (32, 16)
+    bundle = get_model("tiny_vit_smoke", jax.random.key(0), img_size=img_size,
+                       dtype=jnp.float32)
+    extractor = FeatureExtractor(bundle, img_size=img_size, batch_size=8)
+    args = serve_cli.build_argparser().parse_args(
+        ["--port", "0", "--model_name", "tiny_vit_smoke"]
+    )
+    server, thread, port = _start(args, extractor)
+    try:
+        c = _Client(port)
+        gallery, query = synth["gallery"], synth["query"]
+
+        r = c.request({"op": "stats"})
+        assert r["ok"] and r["num_gallery"] == 0 and r["model"] == "tiny_vit_smoke"
+
+        # searching an empty gallery is a clean error, not a dead daemon
+        r = c.request({"op": "search", "paths": [str(query.paths[0])]})
+        assert not r["ok"] and "enroll" in r["error"]
+
+        r = c.request({
+            "op": "enroll",
+            "paths": [str(p) for p in gallery.paths],
+            "pids": np.asarray(gallery.pids).tolist(),
+        })
+        assert r["ok"] and r["num_gallery"] == len(gallery)
+
+        r = c.request({
+            "op": "search",
+            "paths": [str(p) for p in query.paths],
+            "topk": 3,
+        })
+        assert r["ok"]
+        top1 = np.asarray(r["pids"])[:, 0]
+        acc = float(np.mean(top1 == np.asarray(query.pids)))
+        assert acc >= 0.75, acc  # synthetic identities are separable
+
+        # retire one identity: it disappears from the gallery and results
+        victim = int(np.asarray(gallery.pids)[0])
+        n_victim = int(np.sum(np.asarray(gallery.pids) == victim))
+        r = c.request({"op": "remove", "pids": [victim]})
+        assert r["ok"] and r["removed"] == n_victim
+        assert r["num_gallery"] == len(gallery) - n_victim
+        r = c.request({"op": "search", "paths": [str(p) for p in query.paths],
+                       "topk": r["num_gallery"]})
+        assert r["ok"] and victim not in np.asarray(r["pids"]).ravel()
+
+        r = c.request({"op": "shutdown"})
+        assert r["ok"]
+        c.close()
+        thread.join(timeout=10)
+        assert not thread.is_alive()
+    finally:
+        server.server_close()
+
+
+def test_serve_daemon_embeddings_only(tmp_path, rng):
+    """No-model mode: pre-computed embeddings in, SQ8 index, save + reload,
+    and protocol-level error handling (daemon survives bad requests)."""
+    args = serve_cli.build_argparser().parse_args(
+        ["--port", "0", "--index_quantize", "int8"]
+    )
+    server, thread, port = _start(args, extractor=None)
+    try:
+        c = _Client(port)
+        d = 64
+        centers = rng.normal(size=(5, d)).astype(np.float32)
+        gallery = np.repeat(centers, 4, axis=0) + 0.05 * rng.normal(
+            size=(20, d)
+        ).astype(np.float32)
+        pids = np.repeat(np.arange(5), 4)
+
+        # image paths without a model → clean error
+        r = c.request({"op": "enroll", "paths": ["/nope.jpg"], "pids": [0]})
+        assert not r["ok"] and "without a model" in r["error"]
+        # malformed JSON → clean error
+        c.sock.sendall(b"{not json\n")
+        assert not json.loads(c.rfile.readline())["ok"]
+        # unknown op → clean error
+        assert not c.request({"op": "frobnicate"})["ok"]
+
+        r = c.request({"op": "enroll", "embeddings": gallery.tolist(),
+                       "pids": pids.tolist()})
+        assert r["ok"] and r["num_gallery"] == 20
+
+        probes = centers + 0.05 * rng.normal(size=(5, d)).astype(np.float32)
+        r = c.request({"op": "search", "embeddings": probes.tolist(), "topk": 4})
+        assert r["ok"]
+        np.testing.assert_array_equal(np.asarray(r["pids"])[:, 0], np.arange(5))
+
+        path = str(tmp_path / "served.npz")
+        assert c.request({"op": "save", "path": path})["ok"]
+        r = c.request({"op": "load", "path": path})
+        assert r["ok"] and r["num_gallery"] == 20
+        # the SQ8 mode survives the save/load round trip
+        r = c.request({"op": "stats"})
+        assert r["ok"] and r["index_quantize"] == "int8"
+
+        assert c.request({"op": "shutdown"})["ok"]
+        c.close()
+        thread.join(timeout=10)
+        assert not thread.is_alive()
+    finally:
+        server.server_close()
