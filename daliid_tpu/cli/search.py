@@ -3,7 +3,9 @@
 The serving counterpart of the batch eval CLIs: build a device-resident
 sharded gallery index from a dataset split (or an .npz of embeddings), then
 answer probe queries with ranked identities — the deployment shape of
-``evaluate.py``'s extract→distmat→rank flow.
+``evaluate.py``'s extract→distmat→rank flow. Multi-head models (dual /
+multipart / TransReID-JPM) serve as the feature-concat embedding
+(``eval/matcher.py:serving_embedding``, the concat fusion protocol).
 
 Examples:
     # enroll + query a dataset's gallery with its query split

@@ -45,7 +45,7 @@ import socketserver
 
 import numpy as np
 
-from daliid_tpu.eval.matcher import GalleryIndex
+from daliid_tpu.eval.matcher import GalleryIndex, serving_embedding
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -92,7 +92,9 @@ class IdentificationService:
         if "paths" in req:
             if self.extractor is None:
                 raise ValueError("daemon started without a model; send 'embeddings'")
-            return self.extractor.extract([str(p) for p in req["paths"]])
+            # multi-head models (dual / multipart / JPM) concat to one
+            # serving vector — the concat fusion protocol (eval/matcher.py)
+            return serving_embedding(self.extractor.extract([str(p) for p in req["paths"]]))
         fvs = np.asarray(req["embeddings"], np.float32)
         if fvs.ndim != 2:
             raise ValueError(f"embeddings must be 2-D, got shape {fvs.shape}")

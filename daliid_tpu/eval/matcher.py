@@ -33,12 +33,40 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from daliid_tpu.parallel.mesh import make_mesh
 
 
-def _quantize_rows(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Symmetric per-row int8: q = round(x / s), s = absmax/127 per row."""
-    scale = np.abs(x).max(axis=1) / 127.0
-    scale = np.maximum(scale, 1e-12).astype(np.float32)
-    q = np.clip(np.rint(x / scale[:, None]), -127, 127).astype(np.int8)
+def _quantize_rows(x: np.ndarray, _chunk: int = 1 << 16) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-row int8: q = round(x / s), s = absmax/127 per row.
+
+    Chunked over rows with preallocated outputs: a whole-matrix expression
+    would materialize three f32 temporaries of x's size — at multi-million-
+    row gallery scale (the whole point of SQ8) that's ~100 GB of peak host
+    RAM for a 34 GB input. Chunking bounds the temporaries to ~0.5 GB and is
+    cache-friendlier besides."""
+    n = x.shape[0]
+    q = np.empty(x.shape, np.int8)
+    scale = np.empty(n, np.float32)
+    for i in range(0, n, _chunk):
+        blk = x[i : i + _chunk]
+        s = np.abs(blk).max(axis=1) / 127.0
+        s = np.maximum(s, 1e-12, dtype=np.float32)
+        t = np.rint(blk / s[:, None])
+        np.clip(t, -127, 127, out=t)
+        q[i : i + _chunk] = t
+        scale[i : i + _chunk] = s
     return q, scale
+
+
+def serving_embedding(fvs) -> np.ndarray:
+    """One (N, D) serving vector per image from an extractor output.
+
+    Multi-head models (multipart / dual / TransReID-JPM) return a tuple of
+    head features (``eval/features.py:255-267``); for serving, heads
+    concatenate along the feature axis — cosine over the concat is exactly
+    the concat fusion protocol (``eval/fusion.py:29-41``, the reference's
+    ``evaluateCleanATModels.py`` concat mode) once the index L2-normalizes.
+    Single-head arrays pass through."""
+    if isinstance(fvs, (tuple, list)):
+        return np.concatenate([np.asarray(f, np.float32) for f in fvs], axis=1)
+    return np.asarray(fvs, np.float32)
 
 
 class GalleryIndex:
@@ -58,7 +86,7 @@ class GalleryIndex:
             raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
         self.quantize = quantize
         self.mesh = mesh if mesh is not None else make_mesh()
-        g = np.asarray(gallery_fvs, np.float32)
+        g = serving_embedding(gallery_fvs)
         g = g / (np.linalg.norm(g, axis=1, keepdims=True) + 1e-12)
         self.gallery_pids = None if gallery_pids is None else np.asarray(gallery_pids)
         self._search = self._build_search()
@@ -84,7 +112,7 @@ class GalleryIndex:
 
     def add(self, fvs: np.ndarray, pids=None) -> None:
         """Enroll additional gallery rows (raw embeddings; normalized here)."""
-        f = np.asarray(fvs, np.float32)
+        f = serving_embedding(fvs)
         f = f / (np.linalg.norm(f, axis=1, keepdims=True) + 1e-12)
         if (self.gallery_pids is None) != (pids is None):
             raise ValueError("pids must be provided iff the index tracks pids")
@@ -174,7 +202,7 @@ class GalleryIndex:
         ``probe_fvs`` are raw embeddings; normalized here. Similarity is the
         cosine (distance = 1 - sim, matching ``validateModels.py:47``).
         """
-        q = np.asarray(probe_fvs, np.float32)
+        q = serving_embedding(probe_fvs)
         q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
         k = min(k, self.num_gallery)
         if self.quantize == "int8":

@@ -81,6 +81,27 @@ def test_gallery_index_add_remove_save_load(tmp_path, rng):
     np.testing.assert_array_equal(p5, p3)
 
 
+def test_multi_head_tuple_embeddings(rng):
+    """Multi-head extractor outputs (tuples, eval/features.py:255) enroll
+    and search as the feature-concat serving vector — identical to manually
+    concatenating before indexing (the concat fusion protocol)."""
+    n, d1, d2 = 12, 32, 48
+    h1 = rng.normal(size=(n, d1)).astype(np.float32)
+    h2 = rng.normal(size=(n, d2)).astype(np.float32)
+    probes = (h1[:3] + 0.01, h2[:3] - 0.01)
+
+    idx_tuple = GalleryIndex((h1, h2), np.arange(n))
+    idx_concat = GalleryIndex(np.concatenate([h1, h2], axis=1), np.arange(n))
+    v1, i1, _ = idx_tuple.search(probes, k=4)
+    v2, i2, _ = idx_concat.search(np.concatenate([probes[0], probes[1]], axis=1), k=4)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
+
+    # churn accepts tuples too
+    idx_tuple.add((h1[:2], h2[:2]), np.asarray([100, 101]))
+    assert idx_tuple.num_gallery == n + 2
+
+
 def test_int8_index_matches_f32_retrieval(rng):
     """SQ8 gallery: identical top-k retrieval on identity-margin data and
     cosine scores within the per-row quantization error bound."""
