@@ -51,10 +51,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--capacity", action="store_true",
                     help="also build the 2^22-row int8 index (8.6 GB HBM)")
+    ap.add_argument("--capacity_only", action="store_true",
+                    help="skip the Market-scale benches (several minutes of "
+                         "tunnel RTTs) and run just the capacity leg")
     args = ap.parse_args()
+    if args.capacity_only:
+        args.capacity = True
 
     NG, D, K = 15_913, 2048, 10
     rng = np.random.default_rng(12)
+    import jax
+
+    if args.capacity_only:
+        _bench_capacity(rng, D, K)
+        return
     gallery = rng.normal(size=(NG, D)).astype(np.float32)
     pids = rng.integers(0, 751, NG)
 
@@ -65,9 +75,10 @@ def main():
 
     # enrollment churn: adds amortize to log-many recompiles. Each add ends
     # in an async device_put of the re-sharded gallery — block on the final
-    # buffer so the measured time includes the in-flight uploads.
-    import jax
-
+    # buffer so the measured time includes the in-flight uploads. NOTE: in
+    # this harness each add re-uploads the full ~128 MB gallery through the
+    # ~29 MB/s tunnel (~2.7 s/add measured); on a PCIe host the same
+    # re-shard is tens of ms.
     index = GalleryIndex(gallery, pids)
     t0 = time.time()
     for i in range(32):
@@ -81,10 +92,20 @@ def main():
     if not args.capacity:
         return
     del index
+    _bench_capacity(rng, D, K)
+
+
+def _bench_capacity(rng, D, K):
+    import jax
+    import numpy as np
+
+    from daliid_tpu.eval.matcher import GalleryIndex
+
     NG_BIG = 1 << 22  # 4,194,304 rows = exactly one power-of-two shard
     print(f"building {NG_BIG:,} x {D} int8 index "
           f"({NG_BIG * D / 2**30:.1f} GiB HBM; f32 would need "
-          f"{NG_BIG * D * 4 / 2**30:.0f} GiB — over a v5e's 16 GiB)...")
+          f"{NG_BIG * D * 4 / 2**30:.0f} GiB — over a v5e's 16 GiB)...",
+          flush=True)
     # Row content doesn't affect search latency or memory, so tile a random
     # block instead of generating 8.6G elements on one core (measured 423 s;
     # the tile is 64x faster and exercises the identical device path).
@@ -92,13 +113,15 @@ def main():
     block = rng.random(size=(1 << 16, D), dtype=np.float32) - 0.5
     big = np.tile(block, (NG_BIG >> 16, 1))
     del block
-    print(f"  host gallery materialized in {time.time() - t0:.1f} s")
+    print(f"  host gallery materialized in {time.time() - t0:.1f} s", flush=True)
     t0 = time.time()
     index = GalleryIndex(big, quantize="int8")
     del big  # the index holds its own normalized host copy
+    t1 = time.time()
+    print(f"  normalize + quantize in {t1 - t0:.1f} s", flush=True)
     jax.block_until_ready(index._gallery)
-    print(f"  normalize + quantize + upload in {time.time() - t0:.1f} s "
-          f"(upload is tunnel-bound in this harness: ~29 MB/s)")
+    print(f"  upload in {time.time() - t1:.1f} s "
+          f"(tunnel-bound in this harness: ~29 MB/s)", flush=True)
     for nq in (1, 64):
         probes = rng.random(size=(nq, D), dtype=np.float32) - 0.5
         index.search(probes, k=K)  # warm/compile
@@ -108,7 +131,7 @@ def main():
             index.search(probes, k=K)
         dt = (time.time() - t0) / iters
         print(f"[int8 4.19M-row] search batch={nq:4d} k={K}: {dt * 1e3:7.2f} ms "
-              f"({nq / dt:9.0f} probes/s)")
+              f"({nq / dt:9.0f} probes/s)", flush=True)
 
 
 if __name__ == "__main__":
