@@ -109,6 +109,12 @@ class GalleryIndex:
             return
         g = np.concatenate([g_norm, np.zeros((pad, g_norm.shape[1]), np.float32)]) if pad else g_norm
         self._gallery = jax.device_put(g, NamedSharding(self.mesh, P("data", None)))
+        # zero-size scale placeholder keeping one jitted search signature —
+        # built once per commit, not per search call (at multi-million-row
+        # scale a per-call padded-size jnp.zeros is a 16 MB allocation)
+        self._gallery_scale = jax.device_put(
+            np.zeros(g.shape[0], np.float32), NamedSharding(self.mesh, P("data"))
+        )
 
     def add(self, fvs: np.ndarray, pids=None) -> None:
         """Enroll additional gallery rows (raw embeddings; normalized here)."""
@@ -207,11 +213,11 @@ class GalleryIndex:
         k = min(k, self.num_gallery)
         if self.quantize == "int8":
             q, q_scale = _quantize_rows(q)
-            g_scale = self._gallery_scale
         else:
-            # zero-size placeholders keep one jitted search signature
+            # zero-size probe placeholder keeps one jitted search signature
+            # (the gallery-scale placeholder is cached by _commit)
             q_scale = np.zeros(q.shape[0], np.float32)
-            g_scale = jnp.zeros(self._gallery.shape[0], jnp.float32)
+        g_scale = self._gallery_scale
         vals, idx = self._search(
             jnp.asarray(q), jnp.asarray(q_scale), self._gallery, g_scale,
             jnp.int32(self.num_gallery), k
