@@ -69,16 +69,35 @@ def serving_embedding(fvs) -> np.ndarray:
     return np.asarray(fvs, np.float32)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_rows(gallery, block, offset):
+    """In-place enrollment: write ``block`` rows at ``offset`` into the
+    donated device gallery — O(new rows) transfer instead of re-uploading
+    the whole matrix (at capacity scale that difference is 8.6 GB vs a few
+    KB per add). Caller guarantees offset + len(block) <= capacity (XLA
+    clamps out-of-range starts, which would silently shift the write onto
+    valid rows)."""
+    return jax.lax.dynamic_update_slice(gallery, block, (offset, jnp.int32(0)))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _append_rows_q8(gallery, scales, q_block, s_block, offset):
+    g = jax.lax.dynamic_update_slice(gallery, q_block, (offset, jnp.int32(0)))
+    s = jax.lax.dynamic_update_slice(scales, s_block, (offset,))
+    return g, s
+
+
 class GalleryIndex:
     """Device-resident searchable gallery with incremental enrollment.
 
     ``add``/``remove`` support live gallery churn (enroll/retire
-    identities); ``save``/``load`` persist the index to one npz. A host
-    copy of the normalized matrix backs the updates. The device buffer is
+    identities); ``save``/``load`` persist the index to one npz. A
+    capacity-sized host buffer backs the updates. The device buffer is
     padded to a per-shard power of two and the jitted search takes the live
-    row count as a traced scalar, so enrollment recompiles only when the
-    padded shape actually grows (log-many compiles over any insert
-    sequence), never per ``add``."""
+    row count as a traced scalar; while the capacity holds, ``add`` is an
+    in-place donated ``dynamic_update_slice`` of just the new rows (blocks
+    padded to powers of two → log-many compiles over any insert sequence),
+    and only capacity growth or ``remove`` rebuilds/re-uploads."""
 
     def __init__(self, gallery_fvs: np.ndarray, gallery_pids=None, mesh=None,
                  quantize: str | None = None):
@@ -92,39 +111,73 @@ class GalleryIndex:
         self._search = self._build_search()
         self._commit(g)
 
+    @property
+    def _host_gallery(self) -> np.ndarray:
+        """View of the live rows of the capacity-sized host buffer."""
+        return self._host_buf[: self.num_gallery]
+
     def _commit(self, g_norm: np.ndarray) -> None:
+        """Full rebuild + re-upload: init, ``remove``, and capacity growth."""
         n_dev = self.mesh.devices.size
-        self._host_gallery = g_norm
-        self.num_gallery = g_norm.shape[0]
-        per_shard = -(-max(self.num_gallery, 1) // n_dev)
+        n = g_norm.shape[0]
+        self.num_gallery = n
+        per_shard = -(-max(n, 1) // n_dev)
         per_shard = 1 << (per_shard - 1).bit_length()  # next power of two
-        pad = n_dev * per_shard - self.num_gallery
+        self._capacity = n_dev * per_shard
+        buf = np.zeros((self._capacity, g_norm.shape[1]), np.float32)
+        buf[:n] = g_norm
+        self._host_buf = buf
         if self.quantize == "int8":
-            q, scale = _quantize_rows(g_norm)
-            if pad:
-                q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.int8)])
-                scale = np.concatenate([scale, np.zeros(pad, np.float32)])
-            self._gallery = jax.device_put(q, NamedSharding(self.mesh, P("data", None)))
-            self._gallery_scale = jax.device_put(scale, NamedSharding(self.mesh, P("data")))
+            qbuf = np.zeros((self._capacity, g_norm.shape[1]), np.int8)
+            sbuf = np.zeros(self._capacity, np.float32)
+            qbuf[:n], sbuf[:n] = _quantize_rows(g_norm)
+            self._gallery = jax.device_put(qbuf, NamedSharding(self.mesh, P("data", None)))
+            self._gallery_scale = jax.device_put(sbuf, NamedSharding(self.mesh, P("data")))
             return
-        g = np.concatenate([g_norm, np.zeros((pad, g_norm.shape[1]), np.float32)]) if pad else g_norm
-        self._gallery = jax.device_put(g, NamedSharding(self.mesh, P("data", None)))
+        self._gallery = jax.device_put(buf, NamedSharding(self.mesh, P("data", None)))
         # zero-size scale placeholder keeping one jitted search signature —
         # built once per commit, not per search call (at multi-million-row
         # scale a per-call padded-size jnp.zeros is a 16 MB allocation)
         self._gallery_scale = jax.device_put(
-            np.zeros(g.shape[0], np.float32), NamedSharding(self.mesh, P("data"))
+            np.zeros(self._capacity, np.float32), NamedSharding(self.mesh, P("data"))
         )
 
     def add(self, fvs: np.ndarray, pids=None) -> None:
-        """Enroll additional gallery rows (raw embeddings; normalized here)."""
+        """Enroll additional gallery rows (raw embeddings; normalized here).
+
+        While the new total fits the padded device capacity this is an
+        in-place O(new rows) device update; otherwise the gallery rebuilds
+        at the next power-of-two capacity."""
         f = serving_embedding(fvs)
         f = f / (np.linalg.norm(f, axis=1, keepdims=True) + 1e-12)
         if (self.gallery_pids is None) != (pids is None):
             raise ValueError("pids must be provided iff the index tracks pids")
         if pids is not None:
             self.gallery_pids = np.concatenate([self.gallery_pids, np.asarray(pids)])
-        self._commit(np.concatenate([self._host_gallery, f]))
+        n_new = f.shape[0]
+        if n_new == 0:
+            return
+        off = self.num_gallery
+        blk = 1 << (n_new - 1).bit_length()  # pow-2 block → log-many compiles
+        if off + blk > self._capacity:
+            self._commit(np.concatenate([self._host_gallery, f]))
+            return
+        self._host_buf[off : off + n_new] = f
+        self.num_gallery = off + n_new
+        pad = blk - n_new
+        if self.quantize == "int8":
+            q, s = _quantize_rows(f)
+            if pad:
+                q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.int8)])
+                s = np.concatenate([s, np.zeros(pad, np.float32)])
+            self._gallery, self._gallery_scale = _append_rows_q8(
+                self._gallery, self._gallery_scale, q, s, jnp.int32(off)
+            )
+            return
+        blk_rows = (
+            np.concatenate([f, np.zeros((pad, f.shape[1]), np.float32)]) if pad else f
+        )
+        self._gallery = _append_rows(self._gallery, blk_rows, jnp.int32(off))
 
     def remove(self, indices) -> None:
         """Retire gallery rows by index (as returned by ``search``)."""

@@ -81,6 +81,40 @@ def test_gallery_index_add_remove_save_load(tmp_path, rng):
     np.testing.assert_array_equal(p5, p3)
 
 
+def test_in_place_append_and_capacity_growth(rng):
+    """Within-capacity adds run the in-place dynamic_update_slice path (no
+    rebuild: `_capacity` stays put); overflowing adds rebuild at the next
+    power of two. Both stay search-identical to a fresh index at every
+    step, in f32 and SQ8 modes."""
+    d = 32
+    g0 = rng.normal(size=(100, d)).astype(np.float32)
+    probes = rng.normal(size=(5, d)).astype(np.float32)
+    for quantize in (None, "int8"):
+        idx = GalleryIndex(g0, np.arange(100), quantize=quantize)
+        cap0 = idx._capacity
+        rows = [g0]
+        total = 100
+        # stream single + small-batch adds well past the original capacity
+        step = 0
+        while total <= cap0 + 40:
+            n_new = 1 + (step % 3)
+            f = rng.normal(size=(n_new, d)).astype(np.float32)
+            idx.add(f, np.arange(total, total + n_new))
+            rows.append(f)
+            total += n_new
+            step += 1
+            if total + 8 <= cap0:
+                assert idx._capacity == cap0  # still in-place, no rebuild
+        assert idx._capacity > cap0  # the overflow grew the capacity
+        fresh = GalleryIndex(
+            np.concatenate(rows), np.arange(total), quantize=quantize
+        )
+        v1, i1, _ = idx.search(probes, k=7)
+        v2, i2, _ = fresh.search(probes, k=7)
+        np.testing.assert_allclose(v1, v2, rtol=1e-6)
+        np.testing.assert_array_equal(i1, i2)
+
+
 def test_multi_head_tuple_embeddings(rng):
     """Multi-head extractor outputs (tuples, eval/features.py:255) enroll
     and search as the feature-concat serving vector — identical to manually
