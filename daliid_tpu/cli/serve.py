@@ -22,8 +22,10 @@ Protocol — one JSON object per line, one JSON response line per request::
     {"op": "shutdown"}
 
 Responses are ``{"ok": true, ...}`` or ``{"ok": false, "error": "..."}``
-(a failed request never kills the daemon). Requests are served one at a
-time — there is one device and one jit context, so serialization is the
+(a failed request never kills the daemon). Connections are concurrent
+(one handler thread each, so a client holding a persistent connection
+never starves the rest), but *requests* serialize on one lock — there is
+one device and one jit context, so per-request serialization is the
 honest concurrency model; run one daemon per chip and shard clients.
 
 Trust model: binds 127.0.0.1 by default; the protocol is unauthenticated
@@ -42,6 +44,7 @@ from __future__ import annotations
 import argparse
 import json
 import socketserver
+import threading
 
 import numpy as np
 
@@ -84,6 +87,9 @@ class IdentificationService:
         self.index_quantize = index_quantize
         self.model_name = model_name
         self.shutdown_requested = False
+        # one device, one jit context: requests serialize here while
+        # connections stay concurrent (_Server is a ThreadingTCPServer)
+        self._lock = threading.Lock()
 
     # -- helpers ---------------------------------------------------------
     def _embed(self, req: dict) -> np.ndarray:
@@ -107,7 +113,8 @@ class IdentificationService:
             fn = getattr(self, f"_op_{op}", None)
             if op is None or fn is None:
                 raise ValueError(f"unknown op {op!r}")
-            return {"ok": True, **fn(req)}
+            with self._lock:
+                return {"ok": True, **fn(req)}
         except Exception as exc:  # a bad request must never kill the daemon
             return {"ok": False, "error": f"{type(exc).__name__}: {exc}"}
 
@@ -188,10 +195,12 @@ class _Handler(socketserver.StreamRequestHandler):
                 return
 
 
-class _Server(socketserver.TCPServer):
-    """Single-threaded on purpose: one device, one jit context. ``shutdown``
-    must not be called from the handler thread itself (it deadlocks
-    serve_forever), so the handler sets a flag the serve loop polls."""
+class _Server(socketserver.ThreadingTCPServer):
+    """One handler thread per connection (so a persistent client can't
+    starve others); the device serializes at the service lock, not at
+    accept. ``shutdown`` must not be called from a handler thread (it
+    deadlocks serve_forever), so handlers set a flag the serve loop
+    polls in ``service_actions``."""
 
     allow_reuse_address = True
     daemon_threads = True

@@ -114,6 +114,33 @@ def test_serve_daemon_image_flow(synth):
         server.server_close()
 
 
+def test_serve_daemon_concurrent_clients(rng):
+    """Two clients holding persistent connections interleave requests —
+    under a single-threaded accept loop the second client would block
+    until the first disconnects (this test would time out)."""
+    args = serve_cli.build_argparser().parse_args(["--port", "0"])
+    server, thread, port = _start(args, extractor=None)
+    try:
+        a, b = _Client(port), _Client(port)
+        d = 16
+        g = rng.normal(size=(8, d)).astype(np.float32)
+        r = a.request({"op": "enroll", "embeddings": g.tolist(),
+                       "pids": list(range(8))})
+        assert r["ok"]
+        # b sees a's enrollment while a stays connected
+        assert b.request({"op": "stats"})["num_gallery"] == 8
+        r = b.request({"op": "search", "embeddings": g[:2].tolist(), "topk": 1})
+        assert r["ok"] and np.asarray(r["pids"])[:, 0].tolist() == [0, 1]
+        # back to a: still live on the same connection
+        assert a.request({"op": "stats"})["num_gallery"] == 8
+        assert b.request({"op": "shutdown"})["ok"]
+        a.close(), b.close()
+        thread.join(timeout=10)
+        assert not thread.is_alive()
+    finally:
+        server.server_close()
+
+
 def test_serve_daemon_embeddings_only(tmp_path, rng):
     """No-model mode: pre-computed embeddings in, SQ8 index, save + reload,
     and protocol-level error handling (daemon survives bad requests)."""
