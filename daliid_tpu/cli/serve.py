@@ -66,9 +66,11 @@ def build_argparser() -> argparse.ArgumentParser:
         help="int8 post-training quantization for the extraction forward",
     )
     p.add_argument(
-        "--index_quantize", type=str, default=None, choices=["int8"],
-        help="store the device gallery as per-row symmetric int8 "
-             "(4x identities per chip of HBM, MXU double-rate scoring)",
+        "--index_quantize", type=str, default=None, choices=["int8", "off"],
+        help="'int8' stores the device gallery as per-row symmetric int8 "
+             "(4x identities per chip of HBM, MXU double-rate scoring); "
+             "'off' forces f32 when --load_index carries a saved int8 mode; "
+             "default keeps the saved mode (f32 for fresh galleries)",
     )
     p.add_argument("--topk", type=int, default=10, help="default result depth")
     p.add_argument("--load_index", type=str, default=None, help="warm-start gallery .npz")
@@ -224,11 +226,18 @@ class _Server(socketserver.ThreadingTCPServer):
 
 def make_server(args, extractor=None) -> _Server:
     """Build the TCP server (tests call this directly to get the port)."""
+    flag = args.index_quantize
+    index_quantize = None if flag == "off" else flag
     index = None
     if args.load_index:
-        index = GalleryIndex.load(args.load_index)
+        # an explicit --index_quantize overrides the saved mode (same
+        # contract as cli/search.py)
+        index = GalleryIndex.load(
+            args.load_index, quantize="auto" if flag is None else index_quantize
+        )
+        index_quantize = index.quantize  # later enrolls follow the live index
     service = IdentificationService(
-        extractor, index, topk=args.topk, index_quantize=args.index_quantize,
+        extractor, index, topk=args.topk, index_quantize=index_quantize,
         model_name=args.model_name if extractor is not None else None,
     )
     return _Server((args.host, args.port), service)

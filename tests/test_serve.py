@@ -189,3 +189,16 @@ def test_serve_daemon_embeddings_only(tmp_path, rng):
         assert not thread.is_alive()
     finally:
         server.server_close()
+
+    # --load_index warm start honors the saved mode, and --index_quantize
+    # off / int8 override it (same contract as cli/search.py)
+    for extra, expect in ([], "int8"), (["--index_quantize", "off"], None):
+        args = serve_cli.build_argparser().parse_args(
+            ["--port", "0", "--load_index", path, *extra]
+        )
+        srv = serve_cli.make_server(args)
+        try:
+            assert srv.service.index.quantize == expect
+            assert srv.service.index.num_gallery == 20
+        finally:
+            srv.server_close()
