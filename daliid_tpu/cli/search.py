@@ -100,14 +100,21 @@ def main(args):
     t0 = time.time()
     sims, ids, pids = index.search(q_fvs, k=args.topk)
     dt = time.time() - t0
-    top1_acc = float(np.mean(pids[:, 0] == probes.pids))
+    # a pid-less index (bare-embeddings .npz via --load_index) can still be
+    # searched; identity accuracy just can't be scored
+    acc_note = ""
+    if pids is not None:
+        acc_note = (f"; top-1 identity accuracy "
+                    f"{float(np.mean(pids[:, 0] == probes.pids)):.2%}")
     print(
         f"searched {len(probes)} probes over {index.num_gallery} gallery in "
-        f"{dt * 1e3:.1f} ms ({len(probes) / max(dt, 1e-9):.0f} probes/s); "
-        f"top-1 identity accuracy {top1_acc:.2%}"
+        f"{dt * 1e3:.1f} ms ({len(probes) / max(dt, 1e-9):.0f} probes/s)"
+        + acc_note
     )
     for i in range(min(3, len(probes))):
-        print(f"probe {i} (pid {probes.pids[i]}): top-{args.topk} pids {pids[i].tolist()}")
+        hits = pids[i].tolist() if pids is not None else ids[i].tolist()
+        label = "pids" if pids is not None else "gallery rows"
+        print(f"probe {i} (pid {probes.pids[i]}): top-{args.topk} {label} {hits}")
     return sims, ids, pids
 
 

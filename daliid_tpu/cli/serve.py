@@ -82,11 +82,16 @@ class IdentificationService:
     in-process tests both drive :meth:`handle`)."""
 
     def __init__(self, extractor, index: GalleryIndex | None, topk: int = 10,
-                 index_quantize: str | None = None, model_name: str | None = None):
+                 index_quantize: str | None = None, model_name: str | None = None,
+                 quantize_flag: str | None = None):
         self.extractor = extractor
         self.index = index
         self.topk = topk
         self.index_quantize = index_quantize
+        # the operator's literal --index_quantize value (None = unset):
+        # distinguishes "no preference, follow saved modes" from an explicit
+        # override that runtime {"op": "load"} must also honor
+        self._quantize_flag = quantize_flag
         self.model_name = model_name
         self.shutdown_requested = False
         # one device, one jit context: requests serialize here while
@@ -125,12 +130,19 @@ class IdentificationService:
         pids = req.get("pids")
         if pids is not None and len(pids) != len(fvs):
             raise ValueError(f"{len(pids)} pids for {len(fvs)} embeddings")
-        pids = np.asarray(pids if pids is not None else [-1] * len(fvs))
-        if self.index is None:
-            self.index = GalleryIndex(fvs, gallery_pids=pids,
-                                      quantize=self.index_quantize)
+        if self.index is not None and self.index.gallery_pids is None:
+            # a pid-less warm-started index (e.g. a bare-embeddings .npz)
+            # cannot grow a pid table mid-flight
+            if pids is not None:
+                raise ValueError("this index does not track pids; omit 'pids'")
+            self.index.add(fvs)
         else:
-            self.index.add(fvs, pids)
+            pids = np.asarray(pids if pids is not None else [-1] * len(fvs))
+            if self.index is None:
+                self.index = GalleryIndex(fvs, gallery_pids=pids,
+                                          quantize=self.index_quantize)
+            else:
+                self.index.add(fvs, pids)
         return {"enrolled": int(len(fvs)), "num_gallery": int(self.index.num_gallery)}
 
     def _op_search(self, req: dict) -> dict:
@@ -148,6 +160,8 @@ class IdentificationService:
     def _op_remove(self, req: dict) -> dict:
         if self.index is None:
             raise ValueError("gallery is empty")
+        if self.index.gallery_pids is None:
+            raise ValueError("this index does not track pids; cannot remove by pid")
         pids = np.asarray(req["pids"])
         mask = np.isin(np.asarray(self.index.gallery_pids), pids)
         self.index.remove(np.nonzero(mask)[0])
@@ -168,7 +182,15 @@ class IdentificationService:
         return {"path": req["path"]}
 
     def _op_load(self, req: dict) -> dict:
-        self.index = GalleryIndex.load(req["path"])
+        # same mode contract as startup --load_index: the daemon's explicit
+        # --index_quantize flag wins over the saved mode (review finding:
+        # 'auto' here could silently quadruple HBM on an int8-sized daemon)
+        flag = self._quantize_flag
+        self.index = GalleryIndex.load(
+            req["path"],
+            quantize="auto" if flag is None else (None if flag == "off" else flag),
+        )
+        self.index_quantize = self.index.quantize
         return {"num_gallery": int(self.index.num_gallery)}
 
     def _op_shutdown(self, req: dict) -> dict:
@@ -239,6 +261,7 @@ def make_server(args, extractor=None) -> _Server:
     service = IdentificationService(
         extractor, index, topk=args.topk, index_quantize=index_quantize,
         model_name=args.model_name if extractor is not None else None,
+        quantize_flag=flag,
     )
     return _Server((args.host, args.port), service)
 

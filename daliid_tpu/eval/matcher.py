@@ -105,30 +105,38 @@ class GalleryIndex:
             raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
         self.quantize = quantize
         self.mesh = mesh if mesh is not None else make_mesh()
-        g = serving_embedding(gallery_fvs)
-        g = g / (np.linalg.norm(g, axis=1, keepdims=True) + 1e-12)
         self.gallery_pids = None if gallery_pids is None else np.asarray(gallery_pids)
         self._search = self._build_search()
-        self._commit(g)
+        self._commit(serving_embedding(gallery_fvs), normalized=False)
 
     @property
     def _host_gallery(self) -> np.ndarray:
         """View of the live rows of the capacity-sized host buffer."""
         return self._host_buf[: self.num_gallery]
 
-    def _commit(self, g_norm: np.ndarray) -> None:
-        """Full rebuild + re-upload: init, ``remove``, and capacity growth."""
+    def _commit(self, g_rows: np.ndarray, normalized: bool = True) -> None:
+        """Full rebuild + re-upload: init, ``remove``, and capacity growth.
+
+        ``normalized=False`` L2-normalizes chunk-wise in place inside the
+        capacity buffer — an out-of-place whole-matrix normalize would be a
+        second input-sized f32 copy (32 GiB at the SQ8 capacity scale the
+        chunked quantizer exists for)."""
         n_dev = self.mesh.devices.size
-        n = g_norm.shape[0]
+        n = g_rows.shape[0]
         self.num_gallery = n
         per_shard = -(-max(n, 1) // n_dev)
         per_shard = 1 << (per_shard - 1).bit_length()  # next power of two
         self._capacity = n_dev * per_shard
-        buf = np.zeros((self._capacity, g_norm.shape[1]), np.float32)
-        buf[:n] = g_norm
+        buf = np.zeros((self._capacity, g_rows.shape[1]), np.float32)
+        buf[:n] = g_rows
+        if not normalized:
+            for i in range(0, n, 1 << 16):
+                blk = buf[i : min(i + (1 << 16), n)]
+                blk /= np.linalg.norm(blk, axis=1, keepdims=True) + 1e-12
         self._host_buf = buf
+        g_norm = buf[:n]
         if self.quantize == "int8":
-            qbuf = np.zeros((self._capacity, g_norm.shape[1]), np.int8)
+            qbuf = np.zeros((self._capacity, g_rows.shape[1]), np.int8)
             sbuf = np.zeros(self._capacity, np.float32)
             qbuf[:n], sbuf[:n] = _quantize_rows(g_norm)
             self._gallery = jax.device_put(qbuf, NamedSharding(self.mesh, P("data", None)))
@@ -149,11 +157,16 @@ class GalleryIndex:
         in-place O(new rows) device update; otherwise the gallery rebuilds
         at the next power-of-two capacity."""
         f = serving_embedding(fvs)
-        f = f / (np.linalg.norm(f, axis=1, keepdims=True) + 1e-12)
         if (self.gallery_pids is None) != (pids is None):
             raise ValueError("pids must be provided iff the index tracks pids")
-        if pids is not None:
-            self.gallery_pids = np.concatenate([self.gallery_pids, np.asarray(pids)])
+        if f.ndim != 2 or f.shape[1] != self._host_buf.shape[1]:
+            raise ValueError(
+                f"embedding shape {f.shape} does not match the index's "
+                f"feature dim {self._host_buf.shape[1]}"
+            )
+        if pids is not None and len(np.asarray(pids)) != f.shape[0]:
+            raise ValueError(f"{len(pids)} pids for {f.shape[0]} rows")
+        f = f / (np.linalg.norm(f, axis=1, keepdims=True) + 1e-12)
         n_new = f.shape[0]
         if n_new == 0:
             return
@@ -161,23 +174,28 @@ class GalleryIndex:
         blk = 1 << (n_new - 1).bit_length()  # pow-2 block → log-many compiles
         if off + blk > self._capacity:
             self._commit(np.concatenate([self._host_gallery, f]))
-            return
-        self._host_buf[off : off + n_new] = f
-        self.num_gallery = off + n_new
-        pad = blk - n_new
-        if self.quantize == "int8":
-            q, s = _quantize_rows(f)
-            if pad:
-                q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.int8)])
-                s = np.concatenate([s, np.zeros(pad, np.float32)])
-            self._gallery, self._gallery_scale = _append_rows_q8(
-                self._gallery, self._gallery_scale, q, s, jnp.int32(off)
-            )
-            return
-        blk_rows = (
-            np.concatenate([f, np.zeros((pad, f.shape[1]), np.float32)]) if pad else f
-        )
-        self._gallery = _append_rows(self._gallery, blk_rows, jnp.int32(off))
+        else:
+            self._host_buf[off : off + n_new] = f
+            self.num_gallery = off + n_new
+            pad = blk - n_new
+            if self.quantize == "int8":
+                q, s = _quantize_rows(f)
+                if pad:
+                    q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.int8)])
+                    s = np.concatenate([s, np.zeros(pad, np.float32)])
+                self._gallery, self._gallery_scale = _append_rows_q8(
+                    self._gallery, self._gallery_scale, q, s, jnp.int32(off)
+                )
+            else:
+                blk_rows = (
+                    np.concatenate([f, np.zeros((pad, f.shape[1]), np.float32)])
+                    if pad else f
+                )
+                self._gallery = _append_rows(self._gallery, blk_rows, jnp.int32(off))
+        # pids last: a failed add must leave the pid table consistent with
+        # the rows actually enrolled (review finding)
+        if pids is not None:
+            self.gallery_pids = np.concatenate([self.gallery_pids, np.asarray(pids)])
 
     def remove(self, indices) -> None:
         """Retire gallery rows by index (as returned by ``search``)."""
@@ -256,12 +274,19 @@ class GalleryIndex:
         return search
 
     def search(self, probe_fvs: np.ndarray, k: int = 10):
-        """→ (similarities (Q, k), gallery_indices (Q, k)[, pids (Q, k)]).
+        """→ (similarities (Q, k), gallery_indices (Q, k), pids (Q, k)).
 
-        ``probe_fvs`` are raw embeddings; normalized here. Similarity is the
-        cosine (distance = 1 - sim, matching ``validateModels.py:47``).
+        ``pids`` is None when the index does not track identities (built
+        without ``gallery_pids``). ``probe_fvs`` are raw embeddings;
+        normalized here. Similarity is the cosine (distance = 1 - sim,
+        matching ``validateModels.py:47``).
         """
         q = serving_embedding(probe_fvs)
+        if q.ndim != 2 or q.shape[1] != self._host_buf.shape[1]:
+            raise ValueError(
+                f"probe shape {q.shape} does not match the index's "
+                f"feature dim {self._host_buf.shape[1]}"
+            )
         q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
         k = min(k, self.num_gallery)
         if self.quantize == "int8":
@@ -276,6 +301,5 @@ class GalleryIndex:
             jnp.int32(self.num_gallery), k
         )
         vals, idx = np.asarray(vals), np.asarray(idx)
-        if self.gallery_pids is not None:
-            return vals, idx, self.gallery_pids[idx]
-        return vals, idx
+        pids = self.gallery_pids[idx] if self.gallery_pids is not None else None
+        return vals, idx, pids

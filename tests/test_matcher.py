@@ -15,7 +15,8 @@ def test_search_matches_bruteforce(rng):
     gallery = rng.normal(size=(G, D)).astype(np.float32)
     probes = rng.normal(size=(Q, D)).astype(np.float32)
     idx = GalleryIndex(gallery)
-    vals, ids = idx.search(probes, k=K)
+    vals, ids, no_pids = idx.search(probes, k=K)
+    assert no_pids is None  # pid-less index: search still works
 
     sims = _l2n(probes) @ _l2n(gallery).T
     expected = np.argsort(-sims, axis=1)[:, :K]
@@ -41,7 +42,7 @@ def test_search_returns_pids(rng):
 def test_k_clamped_to_gallery(rng):
     gallery = rng.normal(size=(4, 8)).astype(np.float32)
     idx = GalleryIndex(gallery)
-    vals, ids = idx.search(gallery[:2], k=100)
+    vals, ids, _ = idx.search(gallery[:2], k=100)
     assert vals.shape == (2, 4)
 
 
@@ -79,6 +80,22 @@ def test_gallery_index_add_remove_save_load(tmp_path, rng):
     v5, i5, p5 = back.search(probes, k=4)
     np.testing.assert_allclose(v5, v3, rtol=1e-6)
     np.testing.assert_array_equal(p5, p3)
+
+
+def test_failed_add_leaves_index_consistent(rng):
+    """A rejected add (wrong feature dim, mismatched pid count) must not
+    desynchronize the pid table from the enrolled rows (review finding:
+    pids were appended before the row write could fail)."""
+    idx = GalleryIndex(rng.normal(size=(10, 32)).astype(np.float32), np.arange(10))
+    with pytest.raises(ValueError, match="feature dim"):
+        idx.add(rng.normal(size=(2, 16)).astype(np.float32), [100, 101])
+    with pytest.raises(ValueError, match="pids for"):
+        idx.add(rng.normal(size=(2, 32)).astype(np.float32), [100])
+    assert idx.num_gallery == 10 and len(idx.gallery_pids) == 10
+    # the index still works: enroll + remove round-trip
+    idx.add(rng.normal(size=(2, 32)).astype(np.float32), [100, 101])
+    idx.remove([10, 11])
+    assert idx.num_gallery == 10 and len(idx.gallery_pids) == 10
 
 
 def test_in_place_append_and_capacity_growth(rng):

@@ -114,6 +114,38 @@ def test_serve_daemon_image_flow(synth):
         server.server_close()
 
 
+def test_serve_daemon_pidless_index(tmp_path, rng):
+    """Warm start from a bare-embeddings .npz (no pid table, the legacy
+    cli/search.py save format): search answers with pids null, enrolling
+    without pids works, and pid-based ops fail cleanly (review finding:
+    these crashed on tuple unpacking before)."""
+    d = 32
+    g = rng.normal(size=(6, d)).astype(np.float32)
+    path = str(tmp_path / "bare.npz")
+    np.savez(path, embeddings=g)
+
+    args = serve_cli.build_argparser().parse_args(
+        ["--port", "0", "--load_index", path]
+    )
+    server, thread, port = _start(args, extractor=None)
+    try:
+        c = _Client(port)
+        r = c.request({"op": "search", "embeddings": g[:2].tolist(), "topk": 1})
+        assert r["ok"] and r["pids"] is None
+        assert np.asarray(r["indices"])[:, 0].tolist() == [0, 1]
+        r = c.request({"op": "enroll", "embeddings": g[:1].tolist()})
+        assert r["ok"] and r["num_gallery"] == 7
+        r = c.request({"op": "enroll", "embeddings": g[:1].tolist(), "pids": [3]})
+        assert not r["ok"] and "does not track pids" in r["error"]
+        r = c.request({"op": "remove", "pids": [3]})
+        assert not r["ok"] and "does not track pids" in r["error"]
+        assert c.request({"op": "shutdown"})["ok"]
+        c.close()
+        thread.join(timeout=10)
+    finally:
+        server.server_close()
+
+
 def test_serve_daemon_concurrent_clients(rng):
     """Two clients holding persistent connections interleave requests —
     under a single-threaded accept loop the second client would block

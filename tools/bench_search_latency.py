@@ -73,12 +73,12 @@ def main():
         index = GalleryIndex(gallery, pids, quantize=quantize)
         _bench_index(index, rng, D, K, label)
 
-    # enrollment churn: adds amortize to log-many recompiles. Each add ends
-    # in an async device_put of the re-sharded gallery — block on the final
-    # buffer so the measured time includes the in-flight uploads. NOTE: in
-    # this harness each add re-uploads the full ~128 MB gallery through the
-    # ~29 MB/s tunnel (~2.7 s/add measured); on a PCIe host the same
-    # re-shard is tens of ms.
+    # enrollment churn: NG=15,913 pads to capacity 16,384, so all 32
+    # single-row adds take the in-place dynamic_update_slice path — a few
+    # KB transferred per add (two tunnel RTTs here, ~1 ms on a PCIe host).
+    # Block on the final buffer so the measured time includes in-flight
+    # device work. Before the in-place path this loop re-uploaded the full
+    # ~128 MB gallery per add (3.04 s/add measured through the tunnel).
     index = GalleryIndex(gallery, pids)
     t0 = time.time()
     for i in range(32):
