@@ -295,11 +295,20 @@ class GalleryIndex:
             # zero-size probe placeholder keeps one jitted search signature
             # (the gallery-scale placeholder is cached by _commit)
             q_scale = np.zeros(q.shape[0], np.float32)
+        # Pad tiny probe batches to 8 rows: below that XLA lowers the dot as
+        # a VPU multiply-reduce at ~62% of HBM bandwidth, while the batched
+        # MXU custom-call sweeps the gallery at peak (measured by
+        # tools/profile_search.py — 1.5x on single-probe device time). The
+        # zero rows cost one extra top_k lane and are sliced off below.
+        n_probes = q.shape[0]
+        if n_probes < 8:
+            q = np.concatenate([q, np.zeros((8 - n_probes, q.shape[1]), q.dtype)])
+            q_scale = np.concatenate([q_scale, np.zeros(8 - n_probes, np.float32)])
         g_scale = self._gallery_scale
         vals, idx = self._search(
             jnp.asarray(q), jnp.asarray(q_scale), self._gallery, g_scale,
             jnp.int32(self.num_gallery), k
         )
-        vals, idx = np.asarray(vals), np.asarray(idx)
+        vals, idx = np.asarray(vals)[:n_probes], np.asarray(idx)[:n_probes]
         pids = self.gallery_pids[idx] if self.gallery_pids is not None else None
         return vals, idx, pids
