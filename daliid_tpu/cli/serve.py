@@ -97,6 +97,7 @@ class IdentificationService:
         # one device, one jit context: requests serialize here while
         # connections stay concurrent (_Server is a ThreadingTCPServer)
         self._lock = threading.Lock()
+        self._counters = {"requests": 0, "errors": 0, "busy_ms": 0.0}
 
     # -- helpers ---------------------------------------------------------
     def _embed(self, req: dict) -> np.ndarray:
@@ -115,14 +116,23 @@ class IdentificationService:
 
     # -- ops -------------------------------------------------------------
     def handle(self, req: dict) -> dict:
+        import time
+
         try:
             op = req.get("op")
             fn = getattr(self, f"_op_{op}", None)
             if op is None or fn is None:
                 raise ValueError(f"unknown op {op!r}")
             with self._lock:
-                return {"ok": True, **fn(req)}
+                self._counters["requests"] += 1
+                t0 = time.monotonic()
+                try:
+                    return {"ok": True, **fn(req)}
+                finally:
+                    self._counters["busy_ms"] += (time.monotonic() - t0) * 1e3
         except Exception as exc:  # a bad request must never kill the daemon
+            with self._lock:  # re-acquired: fn's unwind released it
+                self._counters["errors"] += 1
             return {"ok": False, "error": f"{type(exc).__name__}: {exc}"}
 
     def _op_enroll(self, req: dict) -> dict:
@@ -173,6 +183,9 @@ class IdentificationService:
             "index_quantize": (self.index.quantize if self.index is not None
                                else self.index_quantize),
             "model": self.model_name,
+            "requests": self._counters["requests"],
+            "errors": self._counters["errors"],
+            "busy_ms": round(self._counters["busy_ms"], 3),
         }
 
     def _op_save(self, req: dict) -> dict:

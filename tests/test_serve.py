@@ -105,6 +105,11 @@ def test_serve_daemon_image_flow(synth):
                        "topk": r["num_gallery"]})
         assert r["ok"] and victim not in np.asarray(r["pids"]).ravel()
 
+        # ops counters: every request counted, the one failed search above
+        # recorded as an error, device-busy time accumulated
+        r = c.request({"op": "stats"})
+        assert r["requests"] >= 6 and r["errors"] == 1 and r["busy_ms"] > 0
+
         r = c.request({"op": "shutdown"})
         assert r["ok"]
         c.close()
