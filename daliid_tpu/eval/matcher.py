@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from daliid_tpu.parallel.mesh import make_mesh
+from daliid_tpu.parallel.mesh import make_mesh, put_global
 
 
 def _quantize_rows(x: np.ndarray, _chunk: int = 1 << 16) -> tuple[np.ndarray, np.ndarray]:
@@ -114,6 +114,10 @@ class GalleryIndex:
         """View of the live rows of the capacity-sized host buffer."""
         return self._host_buf[: self.num_gallery]
 
+    def _rep(self, x):
+        """Replicate a host value over the mesh (multi-process-safe)."""
+        return put_global(np.asarray(x), NamedSharding(self.mesh, P()))
+
     def _commit(self, g_rows: np.ndarray, normalized: bool = True) -> None:
         """Full rebuild + re-upload: init, ``remove``, and capacity growth.
 
@@ -139,14 +143,16 @@ class GalleryIndex:
             qbuf = np.zeros((self._capacity, g_rows.shape[1]), np.int8)
             sbuf = np.zeros(self._capacity, np.float32)
             qbuf[:n], sbuf[:n] = _quantize_rows(g_norm)
-            self._gallery = jax.device_put(qbuf, NamedSharding(self.mesh, P("data", None)))
-            self._gallery_scale = jax.device_put(sbuf, NamedSharding(self.mesh, P("data")))
+            # put_global: on a multi-process mesh (gallery larger than one
+            # host's HBM) each process contributes its addressable shards
+            self._gallery = put_global(qbuf, NamedSharding(self.mesh, P("data", None)))
+            self._gallery_scale = put_global(sbuf, NamedSharding(self.mesh, P("data")))
             return
-        self._gallery = jax.device_put(buf, NamedSharding(self.mesh, P("data", None)))
+        self._gallery = put_global(buf, NamedSharding(self.mesh, P("data", None)))
         # zero-size scale placeholder keeping one jitted search signature —
         # built once per commit, not per search call (at multi-million-row
         # scale a per-call padded-size jnp.zeros is a 16 MB allocation)
-        self._gallery_scale = jax.device_put(
+        self._gallery_scale = put_global(
             np.zeros(self._capacity, np.float32), NamedSharding(self.mesh, P("data"))
         )
 
@@ -184,14 +190,17 @@ class GalleryIndex:
                     q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.int8)])
                     s = np.concatenate([s, np.zeros(pad, np.float32)])
                 self._gallery, self._gallery_scale = _append_rows_q8(
-                    self._gallery, self._gallery_scale, q, s, jnp.int32(off)
+                    self._gallery, self._gallery_scale,
+                    self._rep(q), self._rep(s), self._rep(np.int32(off))
                 )
             else:
                 blk_rows = (
                     np.concatenate([f, np.zeros((pad, f.shape[1]), np.float32)])
                     if pad else f
                 )
-                self._gallery = _append_rows(self._gallery, blk_rows, jnp.int32(off))
+                self._gallery = _append_rows(
+                    self._gallery, self._rep(blk_rows), self._rep(np.int32(off))
+                )
         # pids last: a failed add must leave the pid table consistent with
         # the rows actually enrolled (review finding)
         if pids is not None:
@@ -305,9 +314,11 @@ class GalleryIndex:
             q = np.concatenate([q, np.zeros((8 - n_probes, q.shape[1]), q.dtype)])
             q_scale = np.concatenate([q_scale, np.zeros(8 - n_probes, np.float32)])
         g_scale = self._gallery_scale
+        # probes replicate over the mesh; put_global so a multi-process mesh
+        # accepts them alongside the cross-process gallery
         vals, idx = self._search(
-            jnp.asarray(q), jnp.asarray(q_scale), self._gallery, g_scale,
-            jnp.int32(self.num_gallery), k
+            self._rep(q), self._rep(q_scale), self._gallery, g_scale,
+            self._rep(np.int32(self.num_gallery)), k
         )
         vals, idx = np.asarray(vals)[:n_probes], np.asarray(idx)[:n_probes]
         pids = self.gallery_pids[idx] if self.gallery_pids is not None else None

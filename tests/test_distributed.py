@@ -295,6 +295,88 @@ print(f"proc{{jax.process_index()}}: cross-process sharded ranking OK mAP={{mAP:
 """
 
 
+_SEARCH_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, {repo!r})
+from daliid_tpu.parallel.distributed import initialize_multihost
+
+initialize_multihost(coordinator_address={coord!r}, num_processes=2,
+                     process_id=int(sys.argv[1]))
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+import numpy as np
+from daliid_tpu.eval.matcher import GalleryIndex
+
+# deterministic: every process holds the same host-side gallery (the
+# put_global SPMD contract)
+rng = np.random.default_rng(5)
+G, D = 103, 32
+gallery = rng.normal(size=(G, D)).astype(np.float32)
+pids = rng.integers(0, 20, G)
+probes = rng.normal(size=(5, D)).astype(np.float32)
+
+def l2n(x):
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+expected_sets = [set(np.argsort(-(l2n(probes) @ l2n(gallery).T))[qi, :4])
+                 for qi in range(5)]
+
+for quantize in (None, "int8"):
+    idx = GalleryIndex(gallery, pids, quantize=quantize)  # global 4-dev mesh
+    assert idx.mesh.devices.size == 4
+    vals, ids, out_pids = idx.search(probes, k=4)
+    if quantize is None:
+        for qi in range(5):
+            assert set(ids[qi]) == expected_sets[qi], (qi, ids[qi])
+    # enrollment churn across processes: in-place DUS then capacity growth
+    extra = rng.normal(size=(3, D)).astype(np.float32)
+    idx.add(extra, np.asarray([100, 101, 102]))
+    fresh = GalleryIndex(np.concatenate([gallery, extra]),
+                         np.concatenate([pids, [100, 101, 102]]),
+                         quantize=quantize)
+    v1, i1, _ = idx.search(probes, k=4)
+    v2, i2, _ = fresh.search(probes, k=4)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
+print(f"proc{{jax.process_index()}}: cross-process gallery search OK")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_gallery_search(tmp_path):
+    """The serving index across two OS processes: the gallery shards over
+    both hosts' devices (put_global), the shard_map search's all_gather
+    rides the simulated DCN, and results (f32 + SQ8, incl. in-place
+    enrollment churn) match a fresh single-build index and the numpy
+    brute force — galleries larger than one host's HBM serve this way."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    coord = f"127.0.0.1:{_free_port()}"
+    code = _SEARCH_WORKER.format(repo=repo, coord=coord)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=2"])
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
+    assert all("cross-process gallery search OK" in o for o in outs)
+
+
 @pytest.mark.slow
 def test_two_process_sharded_ranking(tmp_path):
     """evaluate_rank_sharded across two OS processes: each host ranks its
