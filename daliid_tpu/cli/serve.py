@@ -32,6 +32,13 @@ Trust model: binds 127.0.0.1 by default; the protocol is unauthenticated
 by design (same stance as a local inference socket) — front it with your
 deployment's ingress if it must leave the host.
 
+Scope: the daemon serves one host's chips (its mesh = the local devices).
+Multi-host galleries (sharded across hosts via ``put_global``,
+``tests/test_distributed.py::test_two_process_gallery_search``) are an
+SPMD library flow — every process must issue identical GalleryIndex calls
+— which a TCP request stream cannot guarantee; shard the identity space
+across per-host daemons instead.
+
 Usage::
 
     python -m daliid_tpu serve --model_name resnet50 --model_path w.npz \
