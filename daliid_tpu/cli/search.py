@@ -54,6 +54,14 @@ def build_argparser() -> argparse.ArgumentParser:
              "default keeps the saved mode (f32 for fresh galleries)",
     )
     p.add_argument("--topk", type=int, default=10)
+    p.add_argument(
+        "--rerank", action="store_true",
+        help="k-reciprocal re-rank of each probe's top shortlist "
+             "(eval/rerank.py batched per probe; exact-f32 even on an int8 "
+             "index). Scores become 1 - reranked distance.",
+    )
+    p.add_argument("--rerank_depth", type=int, default=64,
+                   help="shortlist length fed to --rerank")
     p.add_argument("--save_index", type=str, default=None, help="save gallery embeddings to .npz")
     p.add_argument("--load_index", type=str, default=None, help="load gallery embeddings from .npz")
     p.add_argument("--max_probes", type=int, default=0, help="limit probes (0 = all)")
@@ -98,7 +106,11 @@ def main(args):
     import time
 
     t0 = time.time()
-    sims, ids, pids = index.search(q_fvs, k=args.topk)
+    sims, ids, pids = index.search(
+        q_fvs, k=args.topk,
+        rerank=getattr(args, "rerank", False),
+        rerank_depth=getattr(args, "rerank_depth", 64),
+    )
     dt = time.time() - t0
     # a pid-less index (bare-embeddings .npz via --load_index) can still be
     # searched; identity accuracy just can't be scored

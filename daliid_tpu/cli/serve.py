@@ -16,6 +16,7 @@ Protocol — one JSON object per line, one JSON response line per request::
     {"op": "enroll", "embeddings": [[...]], "pids": [...]} pre-computed
     {"op": "search", "paths": [...], "topk": 5}
     {"op": "search", "embeddings": [[...]], "topk": 5}
+    {"op": "search", ..., "rerank": true, "rerank_depth": 64}  k-reciprocal
     {"op": "remove", "pids": [...]}                        drop identities
     {"op": "stats"}                                        index/model info
     {"op": "save", "path": "..."} / {"op": "load", "path": "..."}
@@ -167,7 +168,11 @@ class IdentificationService:
             raise ValueError("gallery is empty — enroll first")
         fvs = self._embed(req)
         k = int(req.get("topk", self.topk))
-        sims, ids, pids = self.index.search(fvs, k=k)
+        sims, ids, pids = self.index.search(
+            fvs, k=k,
+            rerank=bool(req.get("rerank", False)),
+            rerank_depth=int(req.get("rerank_depth", 64)),
+        )
         return {
             "sims": np.round(sims, 6).tolist(),
             "indices": ids.tolist(),

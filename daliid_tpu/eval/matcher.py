@@ -282,13 +282,24 @@ class GalleryIndex:
 
         return search
 
-    def search(self, probe_fvs: np.ndarray, k: int = 10):
+    def search(self, probe_fvs: np.ndarray, k: int = 10, rerank: bool = False,
+               rerank_depth: int = 64, rerank_k1: int = 20, rerank_k2: int = 6,
+               rerank_lambda: float = 0.3):
         """→ (similarities (Q, k), gallery_indices (Q, k), pids (Q, k)).
 
         ``pids`` is None when the index does not track identities (built
         without ``gallery_pids``). ``probe_fvs`` are raw embeddings;
         normalized here. Similarity is the cosine (distance = 1 - sim,
         matching ``validateModels.py:47``).
+
+        ``rerank=True`` re-orders each probe's top-``rerank_depth``
+        shortlist with k-reciprocal re-ranking (``eval/rerank.py``, the
+        eval-path algorithm batched per probe): candidate embeddings come
+        from the exact f32 host copy, so the refinement is full-precision
+        even on an SQ8 index. Returned scores are then ``1 - reranked
+        distance`` (a Jaccard/cosine blend — ordering-faithful, not a raw
+        cosine). With one probe and ``rerank_depth >= num_gallery`` this
+        equals the batch-eval ``re_ranking`` exactly.
         """
         q = serving_embedding(probe_fvs)
         if q.ndim != 2 or q.shape[1] != self._host_buf.shape[1]:
@@ -298,6 +309,8 @@ class GalleryIndex:
             )
         q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
         k = min(k, self.num_gallery)
+        k_fetch = k if not rerank else min(max(k, rerank_depth), self.num_gallery)
+        q_f32 = q
         if self.quantize == "int8":
             q, q_scale = _quantize_rows(q)
         else:
@@ -318,8 +331,37 @@ class GalleryIndex:
         # accepts them alongside the cross-process gallery
         vals, idx = self._search(
             self._rep(q), self._rep(q_scale), self._gallery, g_scale,
-            self._rep(np.int32(self.num_gallery)), k
+            self._rep(np.int32(self.num_gallery)), k_fetch
         )
         vals, idx = np.asarray(vals)[:n_probes], np.asarray(idx)[:n_probes]
+        if rerank and self.num_gallery > 1:
+            vals, idx = self._rerank_shortlist(
+                q_f32, idx, k, rerank_k1, rerank_k2, rerank_lambda
+            )
+        else:
+            vals, idx = vals[:, :k], idx[:, :k]
         pids = self.gallery_pids[idx] if self.gallery_pids is not None else None
         return vals, idx, pids
+
+    def _rerank_shortlist(self, q_f32, idx, k, k1, k2, lam):
+        """k-reciprocal re-rank of each probe's shortlist (rows from the
+        exact f32 host copy; distances recomputed in f32)."""
+        from daliid_tpu.eval.rerank import rerank_shortlists
+
+        depth = idx.shape[1]
+        cands = self._host_buf[idx]                      # (Q, depth, D) f32
+        qg = 1.0 - np.einsum("qd,qjd->qj", q_f32, cands)
+        gg = 1.0 - np.einsum("qid,qjd->qij", cands, cands)
+        fulls = np.zeros((idx.shape[0], 1 + depth, 1 + depth), np.float32)
+        fulls[:, 0, 1:] = qg
+        fulls[:, 1:, 0] = qg
+        fulls[:, 1:, 1:] = gg
+        new_dist = np.asarray(
+            rerank_shortlists(jnp.asarray(fulls), k1=min(k1, depth),
+                              k2=min(k2, depth), lambda_value=float(lam))
+        )
+        order = np.argsort(new_dist, axis=1, kind="stable")[:, :k]
+        return (
+            1.0 - np.take_along_axis(new_dist, order, axis=1),
+            np.take_along_axis(idx, order, axis=1),
+        )

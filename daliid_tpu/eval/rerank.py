@@ -33,9 +33,8 @@ def _rank_position_mask(dist: jnp.ndarray, k: int) -> jnp.ndarray:
     return ranks < k
 
 
-@functools.partial(jax.jit, static_argnames=("num_q", "k1", "k2", "chunk"))
-def _rerank_core(original_dist: jnp.ndarray, num_q: int, k1: int, k2: int,
-                 lambda_value: float, chunk: int = 128):
+def _rerank_core_impl(original_dist: jnp.ndarray, num_q: int, k1: int, k2: int,
+                      lambda_value: float, chunk: int = 128):
     n = original_dist.shape[0]
     # symmetrize like the standard implementation (dist built from cosine
     # distances is already symmetric up to fp error)
@@ -84,6 +83,24 @@ def _rerank_core(original_dist: jnp.ndarray, num_q: int, k1: int, k2: int,
     jaccard = jax.lax.map(body, v_q_pad.reshape(n_chunks, chunk, n)).reshape(-1, n)[:num_q]
     final = (1.0 - lambda_value) * jaccard + lambda_value * original_dist[:num_q]
     return final[:, num_q:]
+
+
+_rerank_core = functools.partial(jax.jit, static_argnames=("num_q", "k1", "k2", "chunk"))(
+    _rerank_core_impl
+)
+
+
+@functools.partial(jax.jit, static_argnames=("k1", "k2"))
+def rerank_shortlists(fulls: jnp.ndarray, k1: int, k2: int, lambda_value: float):
+    """Batched per-probe re-ranking for the serving path.
+
+    ``fulls``: (Q, 1+depth, 1+depth) distance matrices — row/col 0 is the
+    probe, the rest its shortlist candidates. Each probe is an independent
+    num_q=1 instance of the same k-reciprocal algorithm (vmapped over the
+    batch). → (Q, depth) re-ranked distances. ``chunk=1``: one query row
+    per instance, so the Jaccard chunking degenerates."""
+    fn = lambda f: _rerank_core_impl(f, 1, k1, k2, lambda_value, chunk=1)
+    return jax.vmap(fn)(fulls)[:, 0, :]
 
 
 def re_ranking(

@@ -82,6 +82,47 @@ def test_gallery_index_add_remove_save_load(tmp_path, rng):
     np.testing.assert_array_equal(p5, p3)
 
 
+def test_serving_rerank_matches_eval_rerank(rng):
+    """Single probe + full-gallery depth: the serving shortlist re-rank is
+    exactly the batch-eval re_ranking (same algorithm, num_q=1)."""
+    from daliid_tpu.eval.rerank import re_ranking
+
+    G, D = 24, 16
+    gallery = rng.normal(size=(G, D)).astype(np.float32)
+    probe = rng.normal(size=(1, D)).astype(np.float32)
+    gn = _l2n(gallery)
+    qn = _l2n(probe)
+
+    ref = re_ranking(1.0 - qn @ gn.T, np.zeros((1, 1), np.float32),
+                     1.0 - gn @ gn.T, k1=5, k2=3, lambda_value=0.3)[0]
+
+    idx = GalleryIndex(gallery, np.arange(G))
+    vals, ids, _ = idx.search(probe, k=G, rerank=True, rerank_depth=G,
+                              rerank_k1=5, rerank_k2=3, rerank_lambda=0.3)
+    # the shortlist is the whole gallery → same distances, same order
+    np.testing.assert_allclose(1.0 - vals[0], np.sort(ref), atol=1e-5)
+    np.testing.assert_array_equal(ids[0], np.argsort(ref, kind="stable"))
+
+
+def test_serving_rerank_identity_data(rng):
+    """Re-ranked retrieval keeps the correct identities on margin data, in
+    both storage modes (the SQ8 index re-ranks from the exact f32 copy)."""
+    D, ids, per = 64, 8, 5
+    centers = _l2n(rng.normal(size=(ids, D)).astype(np.float32))
+    gallery = np.repeat(centers, per, axis=0) + 0.05 * rng.normal(
+        size=(ids * per, D)
+    ).astype(np.float32)
+    pids = np.repeat(np.arange(ids), per)
+    probes = centers + 0.05 * rng.normal(size=(ids, D)).astype(np.float32)
+    for quantize in (None, "int8"):
+        idx = GalleryIndex(gallery, pids, quantize=quantize)
+        vals, _, out_pids = idx.search(probes, k=per, rerank=True,
+                                       rerank_depth=3 * per)
+        np.testing.assert_array_equal(out_pids[:, 0], np.arange(ids))
+        assert vals.shape == (ids, per)
+        assert np.all(np.diff(vals, axis=1) <= 1e-6)  # sorted by rerank dist
+
+
 def test_failed_add_leaves_index_consistent(rng):
     """A rejected add (wrong feature dim, mismatched pid count) must not
     desynchronize the pid table from the enrolled rows (review finding:

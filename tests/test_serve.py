@@ -212,6 +212,12 @@ def test_serve_daemon_embeddings_only(tmp_path, rng):
         assert r["ok"]
         np.testing.assert_array_equal(np.asarray(r["pids"])[:, 0], np.arange(5))
 
+        # k-reciprocal shortlist re-ranking over the wire
+        r = c.request({"op": "search", "embeddings": probes.tolist(),
+                       "topk": 4, "rerank": True, "rerank_depth": 12})
+        assert r["ok"]
+        np.testing.assert_array_equal(np.asarray(r["pids"])[:, 0], np.arange(5))
+
         path = str(tmp_path / "served.npz")
         assert c.request({"op": "save", "path": path})["ok"]
         r = c.request({"op": "load", "path": path})
