@@ -24,6 +24,7 @@ save/load is unchanged, so enrollment churn and persistence are exact.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,19 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from daliid_tpu.parallel.mesh import make_mesh, put_global
+
+# Pallas SQ8 search kernel gate (ops/search_topk.py): "auto" = on for TPU
+# backends, "0"/"1" force, "interpret" runs the kernel interpreted (tests).
+# The kernel engages only for int8 shards of >= _PALLAS_MIN_SHARD rows —
+# below that the XLA path's (Q, G) byproduct is too small to matter.
+_PALLAS_MIN_SHARD = 1 << 16
+
+
+def _pallas_search_mode() -> str:
+    mode = os.environ.get("DALIID_SEARCH_PALLAS", "auto")
+    if mode == "auto":
+        return "1" if jax.default_backend() == "tpu" else "0"
+    return mode
 
 
 def _quantize_rows(x: np.ndarray, _chunk: int = 1 << 16) -> tuple[np.ndarray, np.ndarray]:
@@ -238,27 +252,49 @@ class GalleryIndex:
         mesh = self.mesh
         quantized = self.quantize == "int8"
 
+        pallas_mode = _pallas_search_mode()
+
         def local_search(q, q_scale, g_local, g_scale, num_real, k):
             # q replicated (Q, D); g_local (G/n, D) this shard's rows
             shard_size = g_local.shape[0]
-            if quantized:
-                # int8 x int8 → int32 (MXU double-rate), then the two
-                # per-row symmetric scales restore the cosine
-                acc = jax.lax.dot_general(
-                    q, g_local, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                sims = acc.astype(jnp.float32) * q_scale[:, None] * g_scale[None, :]
-            else:
-                sims = jnp.dot(q, g_local.T, preferred_element_type=jnp.float32)
             shard_idx = jax.lax.axis_index("data")
             base = shard_idx * shard_size
-            col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + base
-            sims = jnp.where(col < num_real, sims, -jnp.inf)  # mask padding rows
             # a shard can hold fewer than k rows; the cross-shard merge
             # still sees n * k_local >= k candidates
             k_local = min(k, shard_size)
-            vals, idx = jax.lax.top_k(sims, k_local)
+
+            from daliid_tpu.ops.search_topk import CHUNK as _SCHUNK
+
+            if (
+                quantized and pallas_mode != "0"
+                and shard_size >= _PALLAS_MIN_SHARD
+                and shard_size % _SCHUNK == 0 and k_local <= 64
+            ):
+                # fused kernel: chunk similarities stay in VMEM, HBM traffic
+                # ≈ the int8 gallery itself (ops/search_topk.py). The probe's
+                # per-row scale is rank-invariant → applied after the kernel.
+                from daliid_tpu.ops.search_topk import sq8_search_topk
+
+                vals, idx = sq8_search_topk(
+                    q, g_local, g_scale, jnp.maximum(num_real - base, 0),
+                    k_local, chunk=_SCHUNK,
+                    interpret=(pallas_mode == "interpret"),
+                )
+                vals = vals * q_scale[:, None]
+            else:
+                if quantized:
+                    # int8 x int8 → int32 (MXU double-rate), then the two
+                    # per-row symmetric scales restore the cosine
+                    acc = jax.lax.dot_general(
+                        q, g_local, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    sims = acc.astype(jnp.float32) * q_scale[:, None] * g_scale[None, :]
+                else:
+                    sims = jnp.dot(q, g_local.T, preferred_element_type=jnp.float32)
+                col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + base
+                sims = jnp.where(col < num_real, sims, -jnp.inf)  # mask padding
+                vals, idx = jax.lax.top_k(sims, k_local)
             global_idx = idx + base
             # gather every shard's candidates and merge
             all_vals = jax.lax.all_gather(vals, "data", axis=0)      # (n, Q, k)

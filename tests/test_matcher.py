@@ -82,6 +82,44 @@ def test_gallery_index_add_remove_save_load(tmp_path, rng):
     np.testing.assert_array_equal(p5, p3)
 
 
+def test_pallas_search_kernel_parity(rng, monkeypatch):
+    """The fused SQ8 search kernel (ops/search_topk.py, interpret mode on
+    the CPU mesh, thresholds shrunk) returns the same retrieval as the XLA
+    path — values to fp tolerance (multiply-order differs), same top-k
+    sets, identical best match."""
+    import daliid_tpu.eval.matcher as matcher_mod
+    import daliid_tpu.ops.search_topk as st
+
+    G, Q, D, K = 530, 5, 32, 6  # per-shard 128 on the 8-dev mesh
+    gallery = rng.normal(size=(G, D)).astype(np.float32)
+    probes = rng.normal(size=(Q, D)).astype(np.float32)
+    pids = rng.integers(0, 60, G)
+
+    xla = GalleryIndex(gallery, pids, quantize="int8")
+    v_ref, i_ref, _ = xla.search(probes, k=K)
+
+    monkeypatch.setenv("DALIID_SEARCH_PALLAS", "interpret")
+    monkeypatch.setattr(matcher_mod, "_PALLAS_MIN_SHARD", 64)
+    monkeypatch.setattr(st, "CHUNK", 32)
+    pal = GalleryIndex(gallery, pids, quantize="int8")
+    v, i, _ = pal.search(probes, k=K)
+
+    np.testing.assert_allclose(v, v_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(i[:, 0], i_ref[:, 0])
+    for qi in range(Q):
+        assert set(i[qi]) == set(i_ref[qi])
+
+    # num_real masking: enroll past the padded boundary and stay consistent
+    extra = rng.normal(size=(3, D)).astype(np.float32)
+    xla.add(extra, np.asarray([900, 901, 902]))
+    pal.add(extra, np.asarray([900, 901, 902]))
+    v2r, i2r, _ = xla.search(probes, k=K)
+    v2, i2, _ = pal.search(probes, k=K)
+    np.testing.assert_allclose(v2, v2r, rtol=1e-5, atol=1e-6)
+    for qi in range(Q):
+        assert set(i2[qi]) == set(i2r[qi])
+
+
 def test_serving_rerank_matches_eval_rerank(rng):
     """Single probe + full-gallery depth: the serving shortlist re-rank is
     exactly the batch-eval re_ranking (same algorithm, num_q=1)."""
