@@ -269,6 +269,13 @@ class GalleryIndex:
                 quantized and pallas_mode != "0"
                 and shard_size >= _PALLAS_MIN_SHARD
                 and shard_size % _SCHUNK == 0 and k_local <= 64
+                and q.shape[0] <= 128
+                # Q cap: the kernel's VMEM working set is the (Q, chunk)
+                # similarity block plus the [carry | chunk] concat — at
+                # Q=128 that is ~2.5 MB next to the 2x4 MB gallery blocks;
+                # Q=512 would blow the ~16 MB/core budget. Bigger probe
+                # batches take the XLA path, which is near-roofline at
+                # large Q anyway (BENCH.md).
             ):
                 # fused kernel: chunk similarities stay in VMEM, HBM traffic
                 # ≈ the int8 gallery itself (ops/search_topk.py). The probe's
