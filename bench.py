@@ -5,12 +5,14 @@ extraction at 256x128 (the reference's headline throughput: ~820-885 img/s
 on one GPU for the 15,913-image Market gallery — BASELINE.md), batch 512,
 uint8 inputs with the normalize fused into the jit'd forward.
 
-Compute runs the int8 post-training-quantization path (ops/quantize.py):
-every conv executes in the MXU's double-rate int8 mode with per-tensor
-activation / per-channel weight scales calibrated on the first batch —
-measured +25% over the bf16 forward (BENCH.md §int8), with retrieval
-parity pinned by tests/test_quantize.py. Set DALIID_BENCH_DTYPE=bf16 to
-measure the unquantized bf16 forward instead.
+Both compute modes are measured every run and reported in ONE JSON line so
+the driver trendline stays like-for-like across rounds (BENCH_r02 was bf16,
+BENCH_r03 int8-only): the headline metric/value is the int8
+post-training-quantization path (ops/quantize.py — every conv in the MXU's
+double-rate int8 mode with per-tensor activation / per-channel weight scales,
+retrieval parity pinned by tests/test_quantize.py), and the companion
+``also`` object carries the unquantized bf16 number. Set
+DALIID_BENCH_DTYPE=bf16 or =int8 to measure only one mode.
 
 Batches are staged on device before timing: in this harness the TPU is
 reached through a network tunnel whose host->device bandwidth (~29 MB/s
@@ -49,11 +51,12 @@ def main():
     img_size = (256, 128)
     batch = 512
     n_iters = 30
-    dtype_mode = os.environ.get("DALIID_BENCH_DTYPE", "int8")
-    if dtype_mode not in ("int8", "bf16"):
+    dtype_env = os.environ.get("DALIID_BENCH_DTYPE", "both")
+    if dtype_env not in ("int8", "bf16", "both"):
         raise SystemExit(
-            f"DALIID_BENCH_DTYPE must be 'int8' or 'bf16', got {dtype_mode!r}"
+            f"DALIID_BENCH_DTYPE must be 'int8', 'bf16', or 'both', got {dtype_env!r}"
         )
+    modes = ["bf16", "int8"] if dtype_env == "both" else [dtype_env]
 
     mesh = make_mesh()
     bundle = get_model("resnet50", jax.random.key(0), img_size=img_size, dtype=jnp.bfloat16)
@@ -69,48 +72,65 @@ def main():
         for _ in range(2)
     ]
 
-    quant_scales = None
-    if dtype_mode == "int8":
-        from daliid_tpu.ops.quantize import calibrate
-
-        x = jax.jit(lambda u8: normalize_images(u8, dtype=jnp.bfloat16))(
-            device_batches[0]
-        )
-        quant_scales = calibrate(module, variables, x, train=False)
-
-    @jax.jit
-    def forward(variables, images_u8):
-        x = normalize_images(images_u8, dtype=jnp.bfloat16)
-        if quant_scales is None:
-            out = module.apply(variables, x, train=False)
-        else:
-            from daliid_tpu.ops.quantize import quantized_apply
-
-            out = quantized_apply(module, variables, quant_scales, x, train=False)
-        return out.astype(jnp.float32)
-
-    # warmup / compile
-    forward(variables, device_batches[0]).block_until_ready()
-
-    t0 = time.time()
-    for i in range(n_iters):
-        out = forward(variables, device_batches[i % 2])
-    out.block_until_ready()
-    dt = time.time() - t0
-
     n_chips = jax.device_count()
-    img_per_s_chip = batch * n_iters / dt / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": f"market1501_gallery_extraction_resnet50_256x128_{dtype_mode}"
-                          + ("_ptq" if dtype_mode == "int8" else ""),
-                "value": round(img_per_s_chip, 1),
-                "unit": "img/s/chip",
-                "vs_baseline": round(img_per_s_chip / BASELINE_IMG_PER_S, 2),
-            }
+    results = {}  # mode -> (metric_name, img/s/chip)
+    for dtype_mode in modes:
+        quant_scales = None
+        if dtype_mode == "int8":
+            from daliid_tpu.ops.quantize import calibrate
+
+            x = jax.jit(lambda u8: normalize_images(u8, dtype=jnp.bfloat16))(
+                device_batches[0]
+            )
+            quant_scales = calibrate(module, variables, x, train=False)
+
+        @jax.jit
+        def forward(variables, images_u8, quant_scales=quant_scales):
+            x = normalize_images(images_u8, dtype=jnp.bfloat16)
+            if quant_scales is None:
+                out = module.apply(variables, x, train=False)
+            else:
+                from daliid_tpu.ops.quantize import quantized_apply
+
+                out = quantized_apply(module, variables, quant_scales, x, train=False)
+            return out.astype(jnp.float32)
+
+        # warmup / compile
+        forward(variables, device_batches[0]).block_until_ready()
+
+        t0 = time.time()
+        for i in range(n_iters):
+            out = forward(variables, device_batches[i % 2])
+        out.block_until_ready()
+        dt = time.time() - t0
+
+        metric = f"market1501_gallery_extraction_resnet50_256x128_{dtype_mode}" + (
+            "_ptq" if dtype_mode == "int8" else ""
         )
-    )
+        results[dtype_mode] = (metric, batch * n_iters / dt / n_chips)
+
+    # Headline = int8 (matches BENCH_r03); bf16 rides along under "also" so the
+    # r02 bf16 trendline stays comparable. One JSON line either way.
+    head_mode = "int8" if "int8" in results else "bf16"
+    head_metric, head_val = results[head_mode]
+    payload = {
+        "metric": head_metric,
+        "value": round(head_val, 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(head_val / BASELINE_IMG_PER_S, 2),
+    }
+    also = {
+        m: {
+            "value": round(v, 1),
+            "unit": "img/s/chip",
+            "vs_baseline": round(v / BASELINE_IMG_PER_S, 2),
+        }
+        for mode, (m, v) in results.items()
+        if mode != head_mode
+    }
+    if also:
+        payload["also"] = also
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

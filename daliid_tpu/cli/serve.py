@@ -31,7 +31,10 @@ honest concurrency model; run one daemon per chip and shard clients.
 
 Trust model: binds 127.0.0.1 by default; the protocol is unauthenticated
 by design (same stance as a local inference socket) — front it with your
-deployment's ingress if it must leave the host.
+deployment's ingress if it must leave the host. ``--data_dir`` jails the
+save/load ops' filesystem reach to one directory for untrusted local
+clients. Enroll requests must carry ``pids`` iff the index tracks pids
+(decided by the first enroll / the warm-start file).
 
 Scope: the daemon serves one host's chips (its mesh = the local devices).
 Multi-host galleries (sharded across hosts via ``put_global``,
@@ -82,6 +85,13 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     p.add_argument("--topk", type=int, default=10, help="default result depth")
     p.add_argument("--load_index", type=str, default=None, help="warm-start gallery .npz")
+    p.add_argument(
+        "--data_dir", type=str, default=None,
+        help="jail for the save/load ops: request paths must resolve "
+             "(realpath) under this directory. Unset = any path the daemon's "
+             "uid can touch (the documented 127.0.0.1 trust model); set it "
+             "when fronting untrusted local clients",
+    )
     return p
 
 
@@ -91,11 +101,12 @@ class IdentificationService:
 
     def __init__(self, extractor, index: GalleryIndex | None, topk: int = 10,
                  index_quantize: str | None = None, model_name: str | None = None,
-                 quantize_flag: str | None = None):
+                 quantize_flag: str | None = None, data_dir: str | None = None):
         self.extractor = extractor
         self.index = index
         self.topk = topk
         self.index_quantize = index_quantize
+        self.data_dir = data_dir
         # the operator's literal --index_quantize value (None = unset):
         # distinguishes "no preference, follow saved modes" from an explicit
         # override that runtime {"op": "load"} must also honor
@@ -148,19 +159,26 @@ class IdentificationService:
         pids = req.get("pids")
         if pids is not None and len(pids) != len(fvs):
             raise ValueError(f"{len(pids)} pids for {len(fvs)} embeddings")
-        if self.index is not None and self.index.gallery_pids is None:
-            # a pid-less warm-started index (e.g. a bare-embeddings .npz)
-            # cannot grow a pid table mid-flight
+        if self.index is None:
+            # the first enroll decides whether this index tracks pids
+            self.index = GalleryIndex(
+                fvs,
+                gallery_pids=np.asarray(pids) if pids is not None else None,
+                quantize=self.index_quantize,
+            )
+        elif self.index.gallery_pids is None:
+            # a pid-less index (bare-embeddings .npz warm start, or a first
+            # enroll without pids) cannot grow a pid table mid-flight
             if pids is not None:
                 raise ValueError("this index does not track pids; omit 'pids'")
             self.index.add(fvs)
         else:
-            pids = np.asarray(pids if pids is not None else [-1] * len(fvs))
-            if self.index is None:
-                self.index = GalleryIndex(fvs, gallery_pids=pids,
-                                          quantize=self.index_quantize)
-            else:
-                self.index.add(fvs, pids)
+            # mirror of the pid-less branch: silently assigning a sentinel
+            # here would collapse distinct identities onto one pid and let a
+            # later remove retire all of them at once (review finding)
+            if pids is None:
+                raise ValueError("this index tracks pids; 'pids' is required")
+            self.index.add(fvs, np.asarray(pids))
         return {"enrolled": int(len(fvs)), "num_gallery": int(self.index.num_gallery)}
 
     def _op_search(self, req: dict) -> dict:
@@ -200,11 +218,26 @@ class IdentificationService:
             "busy_ms": round(self._counters["busy_ms"], 3),
         }
 
+    def _jail(self, path: str) -> str:
+        """Enforce the --data_dir jail on file-op paths (review finding:
+        the unauthenticated socket otherwise lets any local process make
+        the daemon read/overwrite anything its uid can touch)."""
+        if self.data_dir is None:
+            return path
+        import os
+
+        root = os.path.realpath(self.data_dir)
+        resolved = os.path.realpath(os.path.join(root, path))
+        if resolved != root and not resolved.startswith(root + os.sep):
+            raise ValueError(f"path escapes --data_dir: {path!r}")
+        return resolved
+
     def _op_save(self, req: dict) -> dict:
         if self.index is None:
             raise ValueError("gallery is empty")
-        self.index.save(req["path"])
-        return {"path": req["path"]}
+        path = self._jail(req["path"])
+        self.index.save(path)
+        return {"path": path}
 
     def _op_load(self, req: dict) -> dict:
         # same mode contract as startup --load_index: the daemon's explicit
@@ -212,7 +245,7 @@ class IdentificationService:
         # 'auto' here could silently quadruple HBM on an int8-sized daemon)
         flag = self._quantize_flag
         self.index = GalleryIndex.load(
-            req["path"],
+            self._jail(req["path"]),
             quantize="auto" if flag is None else (None if flag == "off" else flag),
         )
         self.index_quantize = self.index.quantize
@@ -286,7 +319,7 @@ def make_server(args, extractor=None) -> _Server:
     service = IdentificationService(
         extractor, index, topk=args.topk, index_quantize=index_quantize,
         model_name=args.model_name if extractor is not None else None,
-        quantize_flag=flag,
+        quantize_flag=flag, data_dir=getattr(args, "data_dir", None),
     )
     return _Server((args.host, args.port), service)
 

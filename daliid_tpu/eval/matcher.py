@@ -368,7 +368,11 @@ class GalleryIndex:
         n_probes = q.shape[0]
         if n_probes < 8:
             q = np.concatenate([q, np.zeros((8 - n_probes, q.shape[1]), q.dtype)])
-            q_scale = np.concatenate([q_scale, np.zeros(8 - n_probes, np.float32)])
+            # pad scale = 1.0, not 0.0: pad probes are all-zero int8 rows so
+            # their sims are 0/-inf regardless of scale, and a 0.0 scale
+            # would turn the Pallas branch's -inf carry into -inf * 0 = NaN
+            # (sliced off, but it trips jax_debug_nans — review finding)
+            q_scale = np.concatenate([q_scale, np.ones(8 - n_probes, np.float32)])
         g_scale = self._gallery_scale
         # probes replicate over the mesh; put_global so a multi-process mesh
         # accepts them alongside the cross-process gallery

@@ -89,6 +89,14 @@ def sq8_search_topk(q8, g8, g_scale, num_real, k: int, chunk: int = CHUNK,
     scalar (rows beyond it are padding)."""
     qn, d = q8.shape
     g_rows = g8.shape[0]
+    if g_rows >= 1 << 24:
+        # indices ride an f32 lane inside the kernel — exact only below
+        # 2^24; beyond that a shard would silently return corrupted indices
+        # (review finding). Shard such galleries over more devices instead.
+        raise ValueError(
+            f"sq8_search_topk supports shards < 2^24 rows (f32-encoded "
+            f"indices); got {g_rows}"
+        )
     n_chunks = g_rows // chunk
     gs2 = g_scale.reshape(1, g_rows)
     nr = jnp.reshape(num_real, (1,)).astype(jnp.int32)

@@ -120,6 +120,22 @@ def test_pallas_search_kernel_parity(rng, monkeypatch):
         assert set(i2[qi]) == set(i2r[qi])
 
 
+def test_pallas_search_kernel_rejects_giant_shard():
+    """Indices ride an f32 lane inside the kernel — shards >= 2^24 rows must
+    raise instead of silently corrupting indices (review finding). Traced
+    via eval_shape so the 16M-row gallery is never materialized."""
+    import jax
+
+    from daliid_tpu.ops.search_topk import sq8_search_topk
+
+    q = jax.ShapeDtypeStruct((8, 128), np.int8)
+    g = jax.ShapeDtypeStruct((1 << 24, 128), np.int8)
+    s = jax.ShapeDtypeStruct((1 << 24,), np.float32)
+    nr = jax.ShapeDtypeStruct((), np.int32)
+    with pytest.raises(ValueError, match="2\\^24"):
+        jax.eval_shape(lambda *a: sq8_search_topk(*a, k=4), q, g, s, nr)
+
+
 def test_serving_rerank_matches_eval_rerank(rng):
     """Single probe + full-gallery depth: the serving shortlist re-rank is
     exactly the batch-eval re_ranking (same algorithm, num_q=1)."""

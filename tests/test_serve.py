@@ -245,3 +245,45 @@ def test_serve_daemon_embeddings_only(tmp_path, rng):
             assert srv.service.index.num_gallery == 20
         finally:
             srv.server_close()
+
+
+def test_serve_daemon_pid_required_and_data_dir_jail(tmp_path, rng):
+    """Review findings: (a) a pid-tracking index rejects enrolls that omit
+    'pids' instead of silently collapsing identities onto a -1 sentinel;
+    (b) --data_dir jails save/load paths to one directory."""
+    jail = tmp_path / "jail"
+    jail.mkdir()
+    (tmp_path / "outside.npz").write_bytes(b"")
+    args = serve_cli.build_argparser().parse_args(
+        ["--port", "0", "--data_dir", str(jail)]
+    )
+    server, thread, port = _start(args, extractor=None)
+    try:
+        c = _Client(port)
+        d = 16
+        g = rng.normal(size=(4, d)).astype(np.float32)
+        r = c.request({"op": "enroll", "embeddings": g.tolist(),
+                       "pids": [0, 1, 2, 3]})
+        assert r["ok"]
+        # omitting pids on a pid-tracking index is an error, not pid -1
+        r = c.request({"op": "enroll", "embeddings": g[:1].tolist()})
+        assert not r["ok"] and "tracks pids" in r["error"]
+        assert c.request({"op": "stats"})["num_gallery"] == 4
+
+        # relative path inside the jail: OK, resolved under --data_dir
+        r = c.request({"op": "save", "path": "idx.npz"})
+        assert r["ok"] and r["path"].startswith(str(jail))
+        assert (jail / "idx.npz").exists()
+        assert c.request({"op": "load", "path": "idx.npz"})["num_gallery"] == 4
+        # escapes (.. traversal, absolute outside) are rejected
+        r = c.request({"op": "save", "path": "../escape.npz"})
+        assert not r["ok"] and "escapes" in r["error"]
+        assert not (tmp_path / "escape.npz").exists()
+        r = c.request({"op": "load", "path": str(tmp_path / "outside.npz")})
+        assert not r["ok"] and "escapes" in r["error"]
+
+        assert c.request({"op": "shutdown"})["ok"]
+        c.close()
+        thread.join(timeout=10)
+    finally:
+        server.server_close()
