@@ -33,10 +33,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from daliid_tpu.parallel.mesh import make_mesh, put_global
 
-# Pallas SQ8 search kernel gate (ops/search_topk.py): "auto" = on for TPU
+# Pallas search kernel gate (ops/search_topk.py): "auto" = on for TPU
 # backends, "0"/"1" force, "interpret" runs the kernel interpreted (tests).
-# The kernel engages only for int8 shards of >= _PALLAS_MIN_SHARD rows —
-# below that the XLA path's (Q, G) byproduct is too small to matter.
+# The kernel engages only for shards of >= _PALLAS_MIN_SHARD rows (int8 or
+# f32 storage) — below that the XLA path's (Q, G) byproduct is too small
+# to matter.
 _PALLAS_MIN_SHARD = 1 << 16
 
 
@@ -263,31 +264,46 @@ class GalleryIndex:
             # still sees n * k_local >= k candidates
             k_local = min(k, shard_size)
 
-            from daliid_tpu.ops.search_topk import CHUNK as _SCHUNK
+            from daliid_tpu.ops.search_topk import (
+                CHUNK as _SCHUNK,
+                F32_CHUNK as _FCHUNK,
+                MAX_PROBES as _MAXQ,
+            )
 
+            chunk = _SCHUNK if quantized else _FCHUNK
             if (
-                quantized and pallas_mode != "0"
+                pallas_mode != "0"
                 and shard_size >= _PALLAS_MIN_SHARD
-                and shard_size % _SCHUNK == 0 and k_local <= 64
-                and q.shape[0] <= 128
-                # Q cap: the kernel's VMEM working set is the (Q, chunk)
-                # similarity block plus the [carry | chunk] concat — at
-                # Q=128 that is ~2.5 MB next to the 2x4 MB gallery blocks;
-                # Q=512 would blow the ~16 MB/core budget. Bigger probe
-                # batches take the XLA path, which is near-roofline at
-                # large Q anyway (BENCH.md).
+                and shard_size % chunk == 0 and k_local <= 64
+                and q.shape[0] <= _MAXQ
+                # Q cap: the probe-tiled grid holds the whole (Q, k) carry
+                # pair in VMEM (Q·k·8 bytes — 2 MB at Q=4096, k=64) while
+                # each step's working set stays (q_tile, chunk); beyond
+                # MAX_PROBES the XLA path amortizes its (Q, G) byproduct
+                # anyway (BENCH.md).
             ):
                 # fused kernel: chunk similarities stay in VMEM, HBM traffic
-                # ≈ the int8 gallery itself (ops/search_topk.py). The probe's
-                # per-row scale is rank-invariant → applied after the kernel.
-                from daliid_tpu.ops.search_topk import sq8_search_topk
-
-                vals, idx = sq8_search_topk(
-                    q, g_local, g_scale, jnp.maximum(num_real - base, 0),
-                    k_local, chunk=_SCHUNK,
-                    interpret=(pallas_mode == "interpret"),
+                # ≈ the gallery itself (ops/search_topk.py).
+                from daliid_tpu.ops.search_topk import (
+                    f32_search_topk,
+                    sq8_search_topk,
                 )
-                vals = vals * q_scale[:, None]
+
+                nr_local = jnp.maximum(num_real - base, 0)
+                interp = pallas_mode == "interpret"
+                if quantized:
+                    # the probe's per-row scale is rank-invariant → applied
+                    # after the kernel
+                    vals, idx = sq8_search_topk(
+                        q, g_local, g_scale, nr_local, k_local,
+                        chunk=chunk, interpret=interp,
+                    )
+                    vals = vals * q_scale[:, None]
+                else:
+                    vals, idx = f32_search_topk(
+                        q, g_local, nr_local, k_local,
+                        chunk=chunk, interpret=interp, g_scale=g_scale,
+                    )
             else:
                 if quantized:
                     # int8 x int8 → int32 (MXU double-rate), then the two

@@ -120,6 +120,70 @@ def test_pallas_search_kernel_parity(rng, monkeypatch):
         assert set(i2[qi]) == set(i2r[qi])
 
 
+def test_pallas_search_kernel_multi_tile(rng):
+    """Probe tiling (round 4): Q > q_tile runs a (n_chunks, n_q_tiles) grid
+    with the whole carry VMEM-resident — parity vs a plain top-k over the
+    full similarity matrix, including num_real masking and a Q that is not
+    a multiple of the tile."""
+    import jax
+    import jax.numpy as jnp
+
+    from daliid_tpu.ops.search_topk import sq8_search_topk
+
+    G, Q, D, K = 512, 300, 32, 6
+    num_real = 420
+    g8 = rng.integers(-127, 128, size=(G, D)).astype(np.int8)
+    q8 = rng.integers(-127, 128, size=(Q, D)).astype(np.int8)
+    gs = rng.uniform(0.5, 1.5, G).astype(np.float32)
+
+    v, i = sq8_search_topk(
+        q8, g8, jnp.asarray(gs), jnp.int32(num_real), K,
+        chunk=128, q_tile=128, interpret=True,
+    )
+    sims = (q8.astype(np.int32) @ g8.astype(np.int32).T).astype(np.float32) * gs
+    sims[:, num_real:] = -np.inf
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(sims), K)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_pallas_search_kernel_f32_parity(rng, monkeypatch):
+    """f32 storage mode (round 4): the same kernel body over an f32 gallery,
+    engaged through GalleryIndex's gate — identical retrieval to the XLA
+    path."""
+    import daliid_tpu.eval.matcher as matcher_mod
+    import daliid_tpu.ops.search_topk as st
+
+    G, Q, D, K = 530, 5, 32, 6
+    gallery = rng.normal(size=(G, D)).astype(np.float32)
+    probes = rng.normal(size=(Q, D)).astype(np.float32)
+    pids = rng.integers(0, 60, G)
+
+    xla = GalleryIndex(gallery, pids)
+    v_ref, i_ref, _ = xla.search(probes, k=K)
+
+    monkeypatch.setenv("DALIID_SEARCH_PALLAS", "interpret")
+    monkeypatch.setattr(matcher_mod, "_PALLAS_MIN_SHARD", 64)
+    monkeypatch.setattr(st, "F32_CHUNK", 32)
+    pal = GalleryIndex(gallery, pids)
+    v, i, _ = pal.search(probes, k=K)
+
+    np.testing.assert_allclose(v, v_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(i[:, 0], i_ref[:, 0])
+    for qi in range(Q):
+        assert set(i[qi]) == set(i_ref[qi])
+
+    # enrollment past the padded boundary stays consistent
+    extra = rng.normal(size=(3, D)).astype(np.float32)
+    xla.add(extra, np.asarray([900, 901, 902]))
+    pal.add(extra, np.asarray([900, 901, 902]))
+    v2r, i2r, _ = xla.search(probes, k=K)
+    v2, i2, _ = pal.search(probes, k=K)
+    np.testing.assert_allclose(v2, v2r, rtol=1e-5, atol=1e-6)
+    for qi in range(Q):
+        assert set(i2[qi]) == set(i2r[qi])
+
+
 def test_pallas_search_kernel_rejects_giant_shard():
     """Indices ride an f32 lane inside the kernel — shards >= 2^24 rows must
     raise instead of silently corrupting indices (review finding). Traced
