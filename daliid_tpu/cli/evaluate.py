@@ -90,6 +90,12 @@ def build_argparser() -> argparse.ArgumentParser:
              "int8 on the MXU's double-rate mode, calibrated on the first "
              "batch (ops/quantize.py; beyond-reference)",
     )
+    p.add_argument(
+        "--calib_batches", type=int, default=1,
+        help="int8 calibration spans the first N extract batches (running "
+             "absmax) — guards against a skewed first batch baking bad "
+             "static scales",
+    )
     add_multihost_flags(p)
     return p
 
@@ -148,6 +154,7 @@ def main(args):
     extractor = FeatureExtractor(
         bundle, img_size=img_size, batch_size=args.batch_size,
         quantize=getattr(args, "quantize", None),
+        calib_batches=getattr(args, "calib_batches", 1),
     )
 
     results = {}

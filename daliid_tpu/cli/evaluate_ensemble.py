@@ -37,7 +37,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument(
         "--quantize", type=str, default=None, choices=["int8"],
         help="int8 post-training quantization for both models' extraction, "
-             "calibrated per model on its first batch (ops/quantize.py)",
+             "calibrated per model on its first batches (ops/quantize.py)",
+    )
+    p.add_argument(
+        "--calib_batches", type=int, default=1,
+        help="int8 calibration spans the first N extract batches "
+             "(running absmax)",
     )
     add_multihost_flags(p)
     return p
@@ -63,6 +68,7 @@ def main(args):
         ex = FeatureExtractor(
             bundle, img_size=img_size, batch_size=args.batch_size,
             quantize=getattr(args, "quantize", None),
+            calib_batches=getattr(args, "calib_batches", 1),
         )
         q = ex.extract(queries, verbose=True)
         g = ex.extract(gallery, verbose=True)

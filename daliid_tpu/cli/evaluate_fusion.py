@@ -58,6 +58,11 @@ def build_argparser() -> argparse.ArgumentParser:
              "int8 perturbs by O(1e-3) relative — acceptable for the "
              "max(q,g) weighting but not bit-identical to fp",
     )
+    p.add_argument(
+        "--calib_batches", type=int, default=1,
+        help="int8 calibration spans the first N extract batches "
+             "(running absmax)",
+    )
     add_multihost_flags(p)
     return p
 
@@ -105,6 +110,7 @@ def main(args):
         ex = FeatureExtractor(
             b, img_size=img_size, batch_size=args.batch_size,
             quantize=getattr(args, "quantize", None),
+            calib_batches=getattr(args, "calib_batches", 1),
         )
         return ex.extract(table)
 

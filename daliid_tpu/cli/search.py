@@ -43,7 +43,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument(
         "--quantize", type=str, default=None, choices=["int8"],
         help="int8 post-training quantization for probe/gallery extraction, "
-             "calibrated lazily on the first batch (ops/quantize.py)",
+             "calibrated lazily on the first batches (ops/quantize.py)",
+    )
+    p.add_argument(
+        "--calib_batches", type=int, default=1,
+        help="int8 calibration spans the first N extract batches "
+             "(running absmax)",
     )
     p.add_argument(
         "--index_quantize", type=str, default=None, choices=["int8", "off"],
@@ -82,6 +87,7 @@ def main(args):
     extractor = FeatureExtractor(
         bundle, img_size=img_size, batch_size=args.batch_size,
         quantize=getattr(args, "quantize", None),
+        calib_batches=getattr(args, "calib_batches", 1),
     )
 
     flag = getattr(args, "index_quantize", None)

@@ -77,6 +77,11 @@ def build_argparser() -> argparse.ArgumentParser:
         help="int8 post-training quantization for the extraction forward",
     )
     p.add_argument(
+        "--calib_batches", type=int, default=1,
+        help="int8 calibration spans the first N extract batches "
+             "(running absmax)",
+    )
+    p.add_argument(
         "--index_quantize", type=str, default=None, choices=["int8", "off"],
         help="'int8' stores the device gallery as per-row symmetric int8 "
              "(4x identities per chip of HBM, MXU double-rate scoring); "
@@ -339,6 +344,7 @@ def main(args):
     extractor = FeatureExtractor(
         bundle, img_size=img_size, batch_size=args.batch_size,
         quantize=args.quantize,
+        calib_batches=getattr(args, "calib_batches", 1),
     )
     server = make_server(args, extractor)
     host, port = server.server_address[:2]

