@@ -236,7 +236,21 @@ def main(args):
                 f"--multiple_output requires a multi-head model; "
                 f"{args.model_name} returns a single embedding"
             )
-        if args.multiple_output:
+        if args.multiple_output and validator._sharded_active() and not args.mrfuse:
+            # SPMD multi-head path (VERDICT r3 item 6): per-head metrics and
+            # the head-merged ensemble rank with distance rows resident on
+            # each query's device — no full (Q, G) per head anywhere.
+            # (--mrfuse needs the materialized distmats; it keeps the
+            # replicated path below.)
+            for h, (qh, gh) in enumerate(zip(q_fvs, g_fvs)):
+                cmc, mAP = validator.rank_features(qh, gh, queries, gallery)
+                report_metrics(f":head{h}", cmc, mAP)
+            cmc, mAP = validator.rank_features(
+                q_fvs, g_fvs, queries, gallery,
+                head_weighting=getattr(args, "head_weighting", "mean"),
+            )
+            results[target] = report_metrics(":ensemble (sharded)", cmc, mAP)
+        elif args.multiple_output:
             # per-head distmats + ensemble (evaluate.py:239-279). The
             # reference's active ensemble is the plain mean (:279); its
             # per-pair max-norm weighted variant (:247-249, commented

@@ -27,6 +27,7 @@ from daliid_tpu.metrics.ranking import (
     cosine_distance_matrix,
     evaluate_rank_jax,
     evaluate_rank_sharded,
+    evaluate_rank_sharded_multihead,
 )
 
 
@@ -119,22 +120,68 @@ class Validator:
         )
         return np.asarray(cmc), (float(mAP) if self._report_map else 0.0)
 
-    def rank_features(self, q_fvs, g_fvs, queries: ReidTable, gallery: ReidTable):
+    def rank_features(self, q_fvs, g_fvs, queries: ReidTable, gallery: ReidTable,
+                      head_weighting: str = "mean"):
         """CMC/mAP straight from raw embeddings. On the sharded path the
         distance rows live only on their query's device
         (:func:`evaluate_rank_sharded`, the SPMD replacement for
         ``Person-ReID/evaluate.py:291`` + rank_cy); otherwise the full
-        distmat is built and ranked replicated."""
-        if self._sharded_active():
-            cmc, mAP = evaluate_rank_sharded(
-                q_fvs, g_fvs,
-                queries.pids.astype(np.int32), gallery.pids.astype(np.int32),
-                queries.camids.astype(np.int32), gallery.camids.astype(np.int32),
-                mesh=self._mesh(), max_rank=self.max_rank,
-                count_all=self._count_all, ignore_camera=self._ignore_camera,
+        distmat is built and ranked replicated.
+
+        Multi-head extractions (tuple of embeddings) rank the per-head
+        ensemble — ``head_weighting`` selects the reference's plain mean
+        (``evaluate.py:279``) or per-pair magnitude weights (``:247-249``) —
+        with NO full per-head (Q, G) distmat on the sharded path
+        (:func:`evaluate_rank_sharded_multihead`)."""
+        multi = isinstance(q_fvs, (tuple, list))
+        if multi and self.rerank:
+            raise ValueError(
+                "re-ranking a multi-head ensemble is undefined upstream "
+                "(evaluate.py never combines them); rerank per head instead"
             )
+        pid_cam = (
+            queries.pids.astype(np.int32), gallery.pids.astype(np.int32),
+            queries.camids.astype(np.int32), gallery.camids.astype(np.int32),
+        )
+        if self._sharded_active():
+            if multi:
+                cmc, mAP = evaluate_rank_sharded_multihead(
+                    q_fvs, g_fvs, *pid_cam,
+                    mesh=self._mesh(), max_rank=self.max_rank,
+                    count_all=self._count_all, ignore_camera=self._ignore_camera,
+                    head_weighting=head_weighting,
+                )
+            else:
+                cmc, mAP = evaluate_rank_sharded(
+                    q_fvs, g_fvs, *pid_cam,
+                    mesh=self._mesh(), max_rank=self.max_rank,
+                    count_all=self._count_all, ignore_camera=self._ignore_camera,
+                )
             return np.asarray(cmc), (float(mAP) if self._report_map else 0.0)
+        if multi:
+            return self.rank(
+                self.multihead_distance_matrix(q_fvs, g_fvs, head_weighting),
+                queries, gallery,
+            )
         return self.rank(self.reranked_distance_matrix(q_fvs, g_fvs), queries, gallery)
+
+    def multihead_distance_matrix(self, q_heads, g_heads, head_weighting: str = "mean"):
+        """Replicated ensemble distmat over head tuples — the reference's
+        merge (``evaluate.py:239-279``) for small sets / single device."""
+        distmats = [
+            np.asarray(self.distance_matrix(qh, gh))
+            for qh, gh in zip(q_heads, g_heads)
+        ]
+        if head_weighting == "magnitude":
+            weights = [
+                np.maximum(
+                    np.linalg.norm(np.asarray(qh, np.float32), axis=1, keepdims=True),
+                    np.linalg.norm(np.asarray(gh, np.float32), axis=1, keepdims=True).T,
+                )
+                for qh, gh in zip(q_heads, g_heads)
+            ]
+            return sum(w * d for w, d in zip(weights, distmats)) / sum(weights)
+        return np.mean(distmats, axis=0)
 
     def validate(self, queries: ReidTable, gallery: ReidTable, bundle_or_extractor, verbose=True):
         """→ (cmc, mAP, distmat). Accepts a ModelBundle or a reusable
@@ -150,10 +197,15 @@ class Validator:
         )
         q_fvs = extractor.extract(queries, verbose=verbose)
         g_fvs = extractor.extract(gallery, verbose=verbose)
-        # multi-head extractions (tuple of embeddings) need per-head distmats
-        if self._sharded_active() and not isinstance(q_fvs, (tuple, list)):
+        multi = isinstance(q_fvs, (tuple, list))
+        if self._sharded_active():
+            # single- AND multi-head: rank_features keeps distance rows on
+            # each query's device (multi-head: the per-pair head merge too)
             cmc, mAP = self.rank_features(q_fvs, g_fvs, queries, gallery)
             distmat = None
+        elif multi:
+            distmat = self.multihead_distance_matrix(q_fvs, g_fvs)
+            cmc, mAP = self.rank(distmat, queries, gallery)
         else:
             distmat = self.reranked_distance_matrix(q_fvs, g_fvs, verbose=verbose)
             cmc, mAP = self.rank(distmat, queries, gallery)

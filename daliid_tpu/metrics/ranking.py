@@ -320,6 +320,161 @@ def evaluate_rank_sharded(
     return np.asarray(cmc_sum) / denom, float(ap_sum) / denom
 
 
+def evaluate_rank_sharded_multihead(
+    q_heads,
+    g_heads,
+    q_pids,
+    g_pids,
+    q_camids,
+    g_camids,
+    mesh=None,
+    max_rank: int = 50,
+    count_all: bool = False,
+    ignore_camera: bool = False,
+    query_chunk: int = 512,
+    head_weighting: str = "mean",
+):
+    """Sharded ranking of a multi-head ensemble WITHOUT materializing any
+    full per-head (Q, G) distance matrix (VERDICT r3 item 6).
+
+    The ensemble distance of the reference's multi-head eval
+    (``Person-ReID/evaluate.py:239-279``) is an elementwise merge of
+    per-head cosine distances — ``mean`` (the active ``:279`` path) or the
+    per-pair ``max(|q_h|, |g_h|)`` magnitude weighting (``:247-249``). Both
+    are computable per (query, gallery) pair from per-head features, so
+    each device builds only ITS query chunk's merged distance rows against
+    the replicated per-head galleries and ranks them locally, exactly like
+    :func:`evaluate_rank_sharded`; peak HBM stays
+    O(query_chunk · num_gallery) per head-merge, never (Q, G).
+
+    ``q_heads``/``g_heads`` are sequences of RAW (N, D_h) embeddings (one
+    per head, dims may differ); normalization happens here, while the
+    magnitude weights use the raw norms — matching ``cli/evaluate.py``'s
+    replicated path bit-for-bit in protocol (fp tolerance in values).
+    """
+    from daliid_tpu.parallel.mesh import make_mesh
+
+    if head_weighting not in ("mean", "magnitude"):
+        raise ValueError(f"head_weighting must be mean|magnitude, got {head_weighting!r}")
+    mesh = mesh if mesh is not None else make_mesh()
+    n_dev = mesh.devices.size
+
+    def _prep(heads):
+        """→ (concat normalized (N, sum D_h), raw-norm magnitudes (N, H))."""
+        normed, mags = [], []
+        for h in heads:
+            h = np.asarray(h, np.float32)
+            m = np.linalg.norm(h, axis=1, keepdims=True)
+            normed.append(h / (m + 1e-12))
+            mags.append(m)
+        return np.concatenate(normed, axis=1), np.concatenate(mags, axis=1)
+
+    dims = tuple(int(np.asarray(h).shape[1]) for h in q_heads)
+    if dims != tuple(int(np.asarray(h).shape[1]) for h in g_heads):
+        raise ValueError("query/gallery head dims differ")
+    q, q_mags = _prep(q_heads)
+    g, g_mags = _prep(g_heads)
+    num_q = q.shape[0]
+    pad = (-num_q) % n_dev
+    q = np.pad(q, ((0, pad), (0, 0)))
+    q_mags = np.pad(q_mags, ((0, pad), (0, 0)), constant_values=1.0)
+    qp = np.pad(np.asarray(q_pids, np.int32), (0, pad), constant_values=-1)
+    qc = np.pad(np.asarray(q_camids, np.int32), (0, pad), constant_values=-1)
+    gp = np.asarray(g_pids, np.int32)
+    gc = np.asarray(g_camids, np.int32)
+
+    max_positives = max_positives_bound(gp)
+    qcols = np.pad(
+        positive_columns(np.asarray(q_pids), gp, max_positives),
+        ((0, pad), (0, 0)), constant_values=-1,
+    )
+
+    fn = _sharded_rank_multihead_fn(
+        mesh, max_rank, ignore_camera, query_chunk, dims, head_weighting
+    )
+    cmc_sum, ap_sum, n_valid = fn(q, qcols, qp, qc, q_mags, g, gp, gc, g_mags)
+    denom = float(num_q) if count_all else max(float(n_valid), 1.0)
+    return np.asarray(cmc_sum) / denom, float(ap_sum) / denom
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_rank_multihead_fn(mesh, max_rank: int, ignore_camera: bool,
+                               query_chunk: int, dims: tuple, weighting: str):
+    """Compiled shard_map program for the multi-head ensemble ranking;
+    cached per configuration like :func:`_sharded_rank_fn`. ``dims`` (the
+    static per-head feature widths) slice the concatenated embeddings
+    inside the traced body — head count is small and static, so the Python
+    loop unrolls into one fused program."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(q_l, qcols_l, qp_l, qc_l, qm_l, g_r, gp_r, gc_r, gm_r):
+        n_local = q_l.shape[0]
+        chunk = min(query_chunk, max(n_local, 1))
+        cpad = (-n_local) % chunk
+        q_p = jnp.pad(q_l, ((0, cpad), (0, 0)))
+        qm_p = jnp.pad(qm_l, ((0, cpad), (0, 0)), constant_values=1.0)
+        cols_p = jnp.pad(qcols_l, ((0, cpad), (0, 0)), constant_values=-1)
+        qp_p = jnp.pad(qp_l, (0, cpad), constant_values=-1)
+        qc_p = jnp.pad(qc_l, (0, cpad), constant_values=-1)
+        n_chunks = q_p.shape[0] // chunk
+
+        def body(args):
+            q_c, cols_c, qp_c, qc_c, qm_c = args
+            num = 0.0
+            den = 0.0
+            off = 0
+            for h, d in enumerate(dims):
+                qh = jax.lax.slice_in_dim(q_c, off, off + d, axis=1)
+                gh = jax.lax.slice_in_dim(g_r, off, off + d, axis=1)
+                off += d
+                dist_h = 1.0 - jnp.dot(qh, gh.T, preferred_element_type=jnp.float32)
+                if weighting == "magnitude":
+                    w = jnp.maximum(qm_c[:, h][:, None], gm_r[:, h][None, :])
+                    num = num + w * dist_h
+                    den = den + w
+                else:
+                    num = num + dist_h
+            dist = num / (den if weighting == "magnitude" else float(len(dims)))
+            cmc_rows, ap, valid = _rank_chunk_counting(
+                dist, cols_c, qp_c, qc_c, gp_r, gc_r, max_rank,
+                ignore_camera=ignore_camera,
+            )
+            valid_f = valid.astype(jnp.float32)
+            return (
+                jnp.sum(cmc_rows * valid_f[:, None], axis=0),
+                jnp.sum(ap * valid_f),
+                jnp.sum(valid_f),
+            )
+
+        cmc_c, ap_c, nv_c = jax.lax.map(
+            body,
+            (
+                q_p.reshape(n_chunks, chunk, -1),
+                cols_p.reshape(n_chunks, chunk, -1),
+                qp_p.reshape(n_chunks, chunk),
+                qc_p.reshape(n_chunks, chunk),
+                qm_p.reshape(n_chunks, chunk, -1),
+            ),
+        )
+        cmc_sum = jax.lax.psum(jnp.sum(cmc_c, axis=0), "data")
+        ap_sum = jax.lax.psum(jnp.sum(ap_c), "data")
+        n_valid = jax.lax.psum(jnp.sum(nv_c), "data")
+        return cmc_sum, ap_sum, n_valid
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P("data", None), P("data", None), P("data"), P("data"),
+                P("data", None), P(), P(), P(), P(),
+            ),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+
+
 @functools.lru_cache(maxsize=16)
 def _sharded_rank_fn(mesh, max_rank: int, ignore_camera: bool, query_chunk: int):
     """Compiled shard_map ranking program, cached per (mesh, max_rank,
