@@ -69,6 +69,7 @@ class TransReIDJPM(nn.Module):
     margin_s: float | None = None  # cfg.SOLVER.COSINE_SCALE (None = per-head default)
     margin_m: float | None = None  # cfg.SOLVER.COSINE_MARGIN
     gelu_approx: bool = False   # tanh GELU (see models/vit.py — non-parity, opt-in)
+    use_pallas_attention: bool = False  # fused-attention kernel (models/vit.py)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -91,6 +92,7 @@ class TransReIDJPM(nn.Module):
             sie_coef=self.sie_coef,
             local_feature=True,
             gelu_approx=self.gelu_approx,
+            use_pallas_attention=self.use_pallas_attention,
             dtype=self.dtype,
             name="base",
         )
@@ -98,6 +100,7 @@ class TransReIDJPM(nn.Module):
 
         def branch_block(name):
             blk = Block(self.num_heads, self.mlp_ratio, 0.0, gelu_approx=self.gelu_approx,
+                        use_pallas_attention=self.use_pallas_attention,
                         dtype=self.dtype, name=f"{name}_block")
             ln = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"{name}_norm")
             return lambda t: ln(blk(t.astype(self.dtype), train=train)).astype(jnp.float32)

@@ -78,7 +78,11 @@ class Attention(nn.Module):
         def heads(t):
             return t.reshape(B, N, self.num_heads, head_dim)
 
-        if self.use_pallas:
+        # the kernel holds no params, so the XLA path during init() keeps
+        # the variable tree identical while avoiding Pallas lowering on the
+        # host-CPU eager init (factory.get_model inits under
+        # default_device(cpu) while the default backend is TPU)
+        if self.use_pallas and not self.is_initializing():
             from daliid_tpu.ops.flash_attention import flash_attention
 
             q = heads(q)

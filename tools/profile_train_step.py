@@ -1,10 +1,17 @@
-"""Profile the AT train step on the real chip (VERDICT item 4).
+"""Profile the AT train step on the real chip (VERDICT r2 item 4, r3 item 3).
 
 Times the augmentation dispatch and the fused train step separately on
-device-resident protocol batches (384 images = P16*K12*2 pairs, 256x128,
-bf16), and optionally dumps a jax.profiler trace.
+device-resident protocol batches (default 384 images = P16*K12*2 pairs,
+256x128, bf16), and optionally dumps a jax.profiler trace.
 
-Usage: python tools/profile_train_step.py [--trace] [--batch 384]
+``--model`` selects the training configuration: the flagship CNN
+(``resnet50``, mainKIT.py's default), the plain ViT-B
+(``vit``, Encoders.py:194-215), or the TransReID-JPM transformer
+(``transreid_jpm``, make_models.py:221-389 — the reference's other
+training family; built with a softmax id head, num_classes = the
+synthetic id count, like build_transformer_local).
+
+Usage: python tools/profile_train_step.py [--model vit] [--trace] [--batch 384]
 """
 
 from __future__ import annotations
@@ -20,10 +27,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", action="store_true")
+    ap.add_argument("--model", type=str, default="resnet50",
+                    choices=["resnet50", "vit", "transreid_jpm"])
     ap.add_argument("--batch", type=int, default=384)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--img_height", type=int, default=256)
     ap.add_argument("--img_width", type=int, default=128)
+    ap.add_argument("--pallas_attention", action="store_true",
+                    help="ViT family: fused-attention Pallas kernel — its "
+                         "custom VJP recomputes the (N, N) probs in-kernel, "
+                         "removing them from saved activations (less XLA "
+                         "auto-remat at big batches)")
     args = ap.parse_args()
 
     from daliid_tpu.utils.cache import enable_compilation_cache
@@ -49,14 +63,23 @@ def main():
         height=IMG[0], width=IMG[1],
     )
     train = splits["train"]
-    online, momentum = build_model_pair("resnet50", jax.random.key(0), img_size=IMG, dtype=jnp.bfloat16)
+    C = 16
+    model_kw = {}
+    if args.model == "transreid_jpm":
+        # the reference's JPM training config carries a per-id softmax
+        # classifier (make_models.py:260-277) fed the batch labels
+        model_kw = dict(num_classes=C, id_loss_type="softmax")
+    if args.pallas_attention:
+        model_kw["use_pallas_attention"] = True
+    online, momentum = build_model_pair(
+        args.model, jax.random.key(0), img_size=IMG, dtype=jnp.bfloat16, **model_kw)
     sampler = PKBatchSampler(train, train.pids, P=2, K=2, kind_of_transform=1,
                              turbulence_dir=turb, seed=0)
     trainer = Trainer(online, momentum, sampler, img_size=IMG, num_epochs=250,
                       compute_dtype=jnp.bfloat16, extractor_batch=256, decode_workers=8)
 
     rng = np.random.default_rng(0)
-    C = 16
+    D = online.feature_dim
     images_u8 = jax.device_put(
         rng.integers(0, 256, (B, *IMG, 3), dtype=np.uint8), trainer._batch_shard)
     labels = jax.device_put(rng.integers(0, C, B).astype(np.int32), trainer._batch_shard)
@@ -65,10 +88,10 @@ def main():
     mask = jax.device_put(np.ones(B, bool), trainer._batch_shard)
     camids = jax.device_put(np.zeros(B, np.int32), trainer._batch_shard)
     centers = jax.device_put(
-        np.linalg.qr(rng.normal(size=(2048, C)))[0].T[:C].astype(np.float32), trainer._replicated)
+        np.linalg.qr(rng.normal(size=(D, C)))[0].T[:C].astype(np.float32), trainer._replicated)
     proxies = jax.device_put(
         (lambda x: x / np.linalg.norm(x, axis=1, keepdims=True))(
-            rng.normal(size=(5 * C, 2048)).astype(np.float32)), trainer._replicated)
+            rng.normal(size=(5 * C, D)).astype(np.float32)), trainer._replicated)
     plabels = jax.device_put(np.repeat(np.arange(C), 5).astype(np.int32), trainer._replicated)
     epoch_arr = jax.device_put(jnp.float32(3), trainer._replicated)
     key = jax.random.key(1)
@@ -98,7 +121,7 @@ def main():
     jax.block_until_ready(m)
     step_ms = (time.perf_counter() - t0) / args.iters * 1e3
 
-    print(f"augment: {aug_ms:.2f} ms | train_step: {step_ms:.2f} ms | "
+    print(f"{args.model}: augment: {aug_ms:.2f} ms | train_step: {step_ms:.2f} ms | "
           f"total {aug_ms + step_ms:.2f} ms → {B / (aug_ms + step_ms) * 1e3:.0f} img/s")
 
     if args.trace:
