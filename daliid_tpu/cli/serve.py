@@ -25,9 +25,15 @@ Protocol — one JSON object per line, one JSON response line per request::
 Responses are ``{"ok": true, ...}`` or ``{"ok": false, "error": "..."}``
 (a failed request never kills the daemon). Connections are concurrent
 (one handler thread each, so a client holding a persistent connection
-never starves the rest), but *requests* serialize on one lock — there is
-one device and one jit context, so per-request serialization is the
-honest concurrency model; run one daemon per chip and shard clients.
+never starves the rest); mutating requests serialize on one lock — there
+is one device and one jit context. **Concurrent searches micro-batch**:
+while one dispatch holds the device, arriving search requests queue, and
+the next leader thread drains the whole queue into ONE
+``GalleryIndex.search`` call (probes concatenated, depth = the group
+max), splitting results per request — amortizing the ~3-RTT dispatch
+cost of a tunnel/PCIe hop across clients (BENCH.md §serving). No wait
+timer: batches form exactly when there is contention, single clients
+keep single-request latency.
 
 Trust model: binds 127.0.0.1 by default; the protocol is unauthenticated
 by design (same stance as a local inference socket) — front it with your
@@ -121,7 +127,15 @@ class IdentificationService:
         # one device, one jit context: requests serialize here while
         # connections stay concurrent (_Server is a ThreadingTCPServer)
         self._lock = threading.Lock()
-        self._counters = {"requests": 0, "errors": 0, "busy_ms": 0.0}
+        # search micro-batching: entries queue here while the device is
+        # busy; the next thread to win _lock serves the whole queue in one
+        # index.search dispatch
+        self._pending: list = []
+        self._pending_lock = threading.Lock()
+        self._counters = {
+            "requests": 0, "errors": 0, "busy_ms": 0.0,
+            "search_requests": 0, "search_dispatches": 0,
+        }
 
     # -- helpers ---------------------------------------------------------
     def _embed(self, req: dict) -> np.ndarray:
@@ -147,6 +161,10 @@ class IdentificationService:
             fn = getattr(self, f"_op_{op}", None)
             if op is None or fn is None:
                 raise ValueError(f"unknown op {op!r}")
+            if op == "search":
+                # searches micro-batch: they manage the device lock
+                # themselves (queue → leader drains → one dispatch)
+                return self._search_batched(req)
             with self._lock:
                 self._counters["requests"] += 1
                 t0 = time.monotonic()
@@ -186,21 +204,90 @@ class IdentificationService:
             self.index.add(fvs, np.asarray(pids))
         return {"enrolled": int(len(fvs)), "num_gallery": int(self.index.num_gallery)}
 
-    def _op_search(self, req: dict) -> dict:
-        if self.index is None or self.index.num_gallery == 0:
-            raise ValueError("gallery is empty — enroll first")
-        fvs = self._embed(req)
-        k = int(req.get("topk", self.topk))
-        sims, ids, pids = self.index.search(
-            fvs, k=k,
-            rerank=bool(req.get("rerank", False)),
-            rerank_depth=int(req.get("rerank_depth", 64)),
-        )
-        return {
-            "sims": np.round(sims, 6).tolist(),
-            "indices": ids.tolist(),
-            "pids": pids.tolist() if pids is not None else None,
-        }
+    # handle() routes "search" to the batching path below; this stub keeps
+    # the op table honest for unknown-op detection
+    _op_search = True
+
+    # -- search micro-batching --------------------------------------------
+    def _search_batched(self, req: dict) -> dict:
+        """Queue the request; whichever waiting thread next wins the device
+        lock serves the WHOLE queue in one ``index.search`` (grouped by
+        rerank settings, probes concatenated, k = group max, results split
+        back per request). No wait timer: batches form exactly under
+        contention. Correctness: mutating ops (enroll/remove/load) hold the
+        same lock, so a batch never interleaves with an index mutation;
+        per-entry failures (bad dims, empty gallery) error only their own
+        response."""
+        entry = {"req": req, "event": threading.Event(), "result": None}
+        with self._pending_lock:
+            self._pending.append(entry)
+        while not entry["event"].is_set():
+            if not self._lock.acquire(timeout=0.05):
+                continue
+            try:
+                with self._pending_lock:
+                    batch, self._pending = self._pending, []
+                if batch:
+                    self._serve_search_batch(batch)
+            finally:
+                self._lock.release()
+        return entry["result"]
+
+    def _serve_search_batch(self, batch: list) -> None:
+        import time
+
+        t0 = time.monotonic()
+        self._counters["requests"] += len(batch)
+        self._counters["search_requests"] += len(batch)
+
+        def fail(e, exc):
+            self._counters["errors"] += 1
+            e["result"] = {"ok": False, "error": f"{type(exc).__name__}: {exc}"}
+            e["event"].set()
+
+        groups: dict = {}
+        for e in batch:
+            try:
+                if self.index is None or self.index.num_gallery == 0:
+                    raise ValueError("gallery is empty — enroll first")
+                fvs = self._embed(e["req"])
+                if fvs.shape[1] != self.index._host_buf.shape[1]:
+                    raise ValueError(
+                        f"probe dim {fvs.shape[1]} != index dim "
+                        f"{self.index._host_buf.shape[1]}"
+                    )
+                k = int(e["req"].get("topk", self.topk))
+                key = (bool(e["req"].get("rerank", False)),
+                       int(e["req"].get("rerank_depth", 64)))
+                groups.setdefault(key, []).append((e, fvs, k))
+            except Exception as exc:
+                fail(e, exc)
+        for (rerank, depth), entries in groups.items():
+            try:
+                probes = np.concatenate([fvs for _, fvs, _ in entries])
+                k_max = max(k for _, _, k in entries)
+                sims, ids, pids = self.index.search(
+                    probes, k=k_max, rerank=rerank, rerank_depth=depth,
+                )
+                self._counters["search_dispatches"] += 1
+                off = 0
+                for e, fvs, k in entries:
+                    n = fvs.shape[0]
+                    s, i = sims[off:off + n, :k], ids[off:off + n, :k]
+                    p = pids[off:off + n, :k] if pids is not None else None
+                    off += n
+                    e["result"] = {
+                        "ok": True,
+                        "sims": np.round(s, 6).tolist(),
+                        "indices": i.tolist(),
+                        "pids": p.tolist() if p is not None else None,
+                    }
+                    e["event"].set()
+            except Exception as exc:
+                for e, _, _ in entries:
+                    if not e["event"].is_set():
+                        fail(e, exc)
+        self._counters["busy_ms"] += (time.monotonic() - t0) * 1e3
 
     def _op_remove(self, req: dict) -> dict:
         if self.index is None:
@@ -221,6 +308,8 @@ class IdentificationService:
             "requests": self._counters["requests"],
             "errors": self._counters["errors"],
             "busy_ms": round(self._counters["busy_ms"], 3),
+            "search_requests": self._counters["search_requests"],
+            "search_dispatches": self._counters["search_dispatches"],
         }
 
     def _jail(self, path: str) -> str:
