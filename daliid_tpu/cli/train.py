@@ -62,6 +62,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "epochs under <save_dir>/latest; 0 disables")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--extractor_batch", type=int, default=512)
+    p.add_argument(
+        "--mining_quantize", type=str, default=None, choices=["int8"],
+        help="int8 PTQ for the per-epoch mining re-embedding "
+             "(train_encodersKIT.py:110 equivalent); validation extraction "
+             "stays full-precision. Recalibrates each epoch on the new "
+             "weights' first mining batches",
+    )
+    p.add_argument("--mining_calib_batches", type=int, default=1)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--skip_initial_eval", action="store_true")
     p.add_argument(
@@ -130,6 +138,8 @@ def config_from_args(args) -> TrainConfig:
         metrics_dir=args.path_to_save_metrics,
         version=args.version,
         extractor_batch=args.extractor_batch,
+        mining_quantize=args.mining_quantize,
+        mining_calib_batches=args.mining_calib_batches,
         num_classes=args.num_classes,
         id_loss_type=args.id_loss_type,
         margin_s=args.cosine_scale,
@@ -250,6 +260,8 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
         seed=cfg.seed,
         extractor_batch=cfg.extractor_batch,
         decode_workers=cfg.decode_workers,
+        mining_quantize=cfg.mining_quantize,
+        mining_calib_batches=cfg.mining_calib_batches,
     )
 
     os.makedirs(cfg.metrics_dir, exist_ok=True)

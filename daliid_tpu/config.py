@@ -69,6 +69,10 @@ class TrainConfig:
     # runtime
     extractor_batch: int = 512
     decode_workers: int = 16
+    # int8 PTQ for the per-epoch mining re-embedding only (beyond-reference;
+    # VERDICT r3 item 8) — eval extraction stays full-precision
+    mining_quantize: str | None = None
+    mining_calib_batches: int = 1
 
     @property
     def img_size(self) -> Tuple[int, int]:

@@ -351,14 +351,28 @@ def _load_imagenet(root):
 def _load_synthetic(root):
     """Deterministic generated dataset (hermetic smoke runs / CI). Built on
     first use under ``<root>/Synthetic``; the turbulence dir is
-    ``<root>/Synthetic/turbulence``."""
+    ``<root>/Synthetic/turbulence``.
+
+    Generation holds an exclusive flock: two ranks of a (same-host)
+    multi-process run racing here would otherwise let the loser parse a
+    half-written directory as a 0-example dataset (multihost drill). Real
+    cross-host runs must pre-generate the dataset on shared storage."""
+    import fcntl
+
     from daliid_tpu.data.synthetic import make_synthetic_dataset
 
     base = os.path.join(root, "Synthetic")
     marker = os.path.join(base, "bounding_box_train")
-    if not os.path.isdir(marker):
-        splits, _ = make_synthetic_dataset(base, num_ids=16, imgs_per_id_train=8, imgs_per_id_test=4)
-        return splits
+    os.makedirs(root, exist_ok=True)
+    with open(base + ".lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            if not os.path.isdir(marker):
+                make_synthetic_dataset(
+                    base, num_ids=16, imgs_per_id_train=8, imgs_per_id_test=4
+                )
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
     return {
         "train": parse_market_duke_dir(os.path.join(base, "bounding_box_train")),
         "gallery": parse_market_duke_dir(os.path.join(base, "bounding_box_test")),

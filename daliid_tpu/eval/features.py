@@ -100,25 +100,36 @@ class FeatureExtractor:
         ).parameters
 
         self._module = module
-        self._forward = self._build_forward()
+        # compiled forwards are PERSISTENT: the quantized one takes the
+        # activation scales as a jit ARGUMENT (dict of scalars), so
+        # per-epoch recalibration (mining with new weights) swaps values
+        # into the same executable — scales baked as trace-time constants
+        # would force a full XLA recompile every epoch (measured 2x slower
+        # mining than fp before this change)
+        self._forward_fp = self._build_forward(quantized=False)
+        self._forward_q = None    # built on first calibration finalize
+        self._scale_args = None   # current scales as {path: np.float32}
+        self._calib_fn = None     # cached jitted calibration forward
+        self._forward = self._forward_fp
 
-    def _build_forward(self, quant_scales=None):
-        """The jit'd sharded forward; with ``quant_scales`` every calibrated
-        conv runs int8 on the MXU's double-rate mode (ops/quantize.py)."""
+    def _build_forward(self, quantized: bool):
+        """The jit'd sharded forward; the quantized variant runs every
+        calibrated conv/Dense int8 on the MXU's double-rate mode
+        (ops/quantize.py) with the scales passed as traced scalars."""
         module, compute_dtype = self._module, self.compute_dtype
 
-        def apply_model(variables, x, camera_ids):
+        def apply_model(variables, x, camera_ids, scales):
             kwargs = {"camera_ids": camera_ids} if self._takes_camera_ids else {}
-            if quant_scales is None:
+            if not quantized:
                 return module.apply(variables, x, train=False, **kwargs)
             from daliid_tpu.ops.quantize import quantized_apply
 
-            return quantized_apply(module, variables, quant_scales, x, train=False, **kwargs)
+            return quantized_apply(module, variables, scales, x, train=False, **kwargs)
 
         @functools.partial(jax.jit, out_shardings=self._batch_shard)
-        def forward(variables, images_u8, camera_ids=None):
+        def forward(variables, images_u8, scales, camera_ids=None):
             x = normalize_images(images_u8, dtype=compute_dtype)
-            feats = apply_model(variables, x, camera_ids)
+            feats = apply_model(variables, x, camera_ids, scales)
             # models may return a tuple of heads (multipart / dual /
             # multiview, getFeatures.py:110-241) — cast every leaf
             return jax.tree.map(lambda f: f.astype(jnp.float32), feats)
@@ -134,17 +145,22 @@ class FeatureExtractor:
         ``calib_batches`` extract batches when ``quantize='int8'``;
         ``rebuild=False`` accumulates stats without committing them (the
         extract loop finalizes once)."""
-        from daliid_tpu.ops.quantize import calibrate as _calibrate
-
+        if self._calib_fn is None:
+            self._calib_fn = self._build_calib_fn()
         compute_dtype = self.compute_dtype
         x = jax.jit(lambda u8: normalize_images(u8, dtype=compute_dtype))(
             put_global(np.asarray(images_u8, np.uint8), self._batch_shard)
         )
-        kwargs = {}
+        cams = None
         if self._takes_camera_ids:
-            cams = np.zeros(len(images_u8), np.int32) if camera_ids is None else camera_ids
-            kwargs["camera_ids"] = put_global(np.asarray(cams, np.int32), self._batch_shard)
-        new = _calibrate(self._module, self._variables, x, train=False, **kwargs)
+            c = np.zeros(len(images_u8), np.int32) if camera_ids is None else camera_ids
+            cams = put_global(np.asarray(c, np.int32), self._batch_shard)
+        from daliid_tpu.ops.quantize import STATS_COLLECTION, flatten_stats
+
+        stats = (self._calib_fn(self._variables, x, cams)
+                 if self._takes_camera_ids else self._calib_fn(self._variables, x))
+        flat = flatten_stats(jax.device_get(stats[STATS_COLLECTION]))
+        new = {k: float(v) for k, v in flat.items()}
         if self.quant_scales is None:
             self.quant_scales = new
         else:
@@ -154,9 +170,38 @@ class FeatureExtractor:
         if rebuild:
             self._finalize_calibration()
 
+    def _build_calib_fn(self):
+        """Cached jitted calibration forward (same program across epochs —
+        the scales come back as a mutated collection, not constants)."""
+        import flax.linen as nn
+
+        from daliid_tpu.ops.quantize import STATS_COLLECTION, calibration_interceptor
+
+        module = self._module
+        takes_cams = self._takes_camera_ids
+
+        def run(variables, x, camera_ids=None):
+            kw = {"camera_ids": camera_ids} if takes_cams else {}
+            with nn.intercept_methods(calibration_interceptor):
+                _, stats = module.apply(
+                    variables, x, train=False, mutable=[STATS_COLLECTION], **kw
+                )
+            return stats
+
+        return jax.jit(run)
+
     def _finalize_calibration(self) -> None:
         self._calib_final = True
-        self._forward = self._build_forward(quant_scales=self.quant_scales)
+        # degenerate entries are dropped STATICALLY here (key absent →
+        # Dense falls back to dynamic scales, conv stays fp) because the
+        # values cross the jit boundary as traced scalars and cannot be
+        # value-checked at trace time (ops/quantize.py contract)
+        self._scale_args = {
+            k: np.float32(v) for k, v in self.quant_scales.items() if v > 0.0
+        }
+        if self._forward_q is None:
+            self._forward_q = self._build_forward(quantized=True)
+        self._forward = self._forward_q
 
     def update_variables(self, variables) -> None:
         """Swap in new weights (e.g. after a training epoch) without
@@ -164,10 +209,12 @@ class FeatureExtractor:
         self._variables = put_global(variables, self._replicated)
         if self.quant_scales is not None or self._calib_final:
             # activation scales were calibrated against the old weights —
-            # drop them so the next extract recalibrates
+            # drop them so the next extract recalibrates (the compiled
+            # quantized forward is KEPT: new scales reuse it as arguments)
             self.quant_scales = None
+            self._scale_args = None
             self._calib_final = False
-            self._forward = self._build_forward()
+            self._forward = self._forward_fp
 
     def _decode_paths(self, paths: Sequence[str]) -> np.ndarray:
         h, w = self.img_size
@@ -246,15 +293,16 @@ class FeatureExtractor:
             # mesh spans processes (multi-host eval: same paths + seeds on
             # every host, shards contributed per process, allgather back)
             device_batch = put_global(imgs, self._batch_shard)
+            scales = self._scale_args if self._scale_args is not None else {}
             if self._takes_camera_ids:
                 cam_chunk = camids[b * bs : b * bs + valid]
                 cam_chunk = np.pad(cam_chunk, (0, bs - valid))
                 feats = self._forward(
-                    self._variables, device_batch,
+                    self._variables, device_batch, scales,
                     put_global(cam_chunk, self._batch_shard),
                 )
             else:
-                feats = self._forward(self._variables, device_batch)
+                feats = self._forward(self._variables, device_batch, scales)
             feats = fetch_global(feats)
             if isinstance(feats, tuple):
                 is_multi = True

@@ -202,7 +202,10 @@ def get_model(name: str, rng: jax.Array, img_size=(256, 128), dtype=jnp.float32,
     # they belong.
     # NOTE: eager, not jit — jit would target the accelerator backend
     # regardless of default_device and pay a full remote compile.
-    cpu = jax.devices("cpu")[0]
+    # local_devices, not devices: on a multi-process mesh jax.devices()[0]
+    # can be ANOTHER process's CPU — committing the init arrays there makes
+    # them non-addressable and the momentum jnp.copy fails (multihost drill)
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         variables = module.init({"params": jax.device_put(rng, cpu)}, dummy, train=False)
     return ModelBundle(module=module, variables=variables, feature_dim=feature_dim, name=name)

@@ -156,20 +156,21 @@ def _result_dtype(mod, x, w):
     return jnp.result_type(x.dtype, w.dtype)
 
 
-def _quantized_dense(mod: nn.Dense, x: jax.Array, absmax: float | None) -> jax.Array:
+def _quantized_dense(mod: nn.Dense, x: jax.Array, absmax) -> jax.Array:
     """``nn.Dense`` in int8.
 
-    With a calibrated ``absmax`` the activation scale is static per-tensor,
-    so the quantize fuses into the producer's epilogue (GELU / LayerNorm)
-    with no extra HBM pass — measured necessary for the wide-K fc2 matmul,
-    where a dynamic absmax pass costs more than the int8 win
-    (tools/bench_int8_mxu.py: fc2 dynq8 0.71x bf16, static-int8 2.0x).
-    Without calibration the scale is the dynamic per-row absmax, which
-    factors out of the contraction exactly: ``acc * s_in[r] * s_w[o]``.
+    With a calibrated ``absmax`` the activation scale is per-tensor (a
+    scalar — float constant or traced scalar, both fuse as one broadcasted
+    multiply), so the quantize fuses into the producer's epilogue
+    (GELU / LayerNorm) with no extra HBM pass — measured necessary for the
+    wide-K fc2 matmul, where a dynamic absmax pass costs more than the
+    int8 win (tools/bench_int8_mxu.py: fc2 dynq8 0.71x bf16, static-int8
+    2.0x). Without calibration the scale is the dynamic per-row absmax,
+    which factors out of the contraction exactly: ``acc * s_in[r] * s_w[o]``.
     """
     w = mod.get_variable("params", "kernel")  # (in, out)
     if absmax is not None:
-        s_in = jnp.float32(max(absmax, 1e-12) / 127.0)
+        s_in = jnp.maximum(jnp.float32(absmax), 1e-12) / 127.0
     else:
         s_in = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
         s_in = jnp.maximum(s_in, jnp.float32(1e-12))
@@ -205,6 +206,13 @@ def make_quantized_interceptor(
     With ``dense=True`` (default), ``nn.Dense`` layers whose matmul spans at
     least ``dense_min_dim`` (one MXU tile) on both sides also run int8, with
     dynamic per-row activation scales — no calibration entry required.
+
+    ``scales`` values may be host floats (baked as program constants — the
+    eval-CLI path) or traced jnp scalars (passed through a jit boundary so
+    RECALIBRATION reuses one compiled program — the per-epoch mining path,
+    ``eval/features.py``). Traced scales must be pre-filtered for
+    degenerate (<= 0) entries by the caller: key presence is structural,
+    the value is not inspectable at trace time.
     """
 
     def interceptor(next_fun, args, kwargs, context):
@@ -221,7 +229,7 @@ def make_quantized_interceptor(
                 and not (skip is not None and skip(path))
             ):
                 absmax = scales.get(path)
-                if absmax is not None and absmax <= 0.0:
+                if isinstance(absmax, (int, float)) and absmax <= 0.0:
                     absmax = None  # degenerate calibration → dynamic scales
                 return _quantized_dense(mod, x, absmax)
             return next_fun(*args, **kwargs)
@@ -229,7 +237,11 @@ def make_quantized_interceptor(
             return next_fun(*args, **kwargs)
         path = _module_path(mod)
         absmax = scales.get(path)
-        if absmax is None or absmax <= 0.0 or (skip is not None and skip(path)):
+        if (
+            absmax is None
+            or (isinstance(absmax, (int, float)) and absmax <= 0.0)
+            or (skip is not None and skip(path))
+        ):
             return next_fun(*args, **kwargs)
         if getattr(mod, "mask", None) is not None:
             # a masked conv's kernel mask would be silently dropped by the
@@ -240,7 +252,7 @@ def make_quantized_interceptor(
         w = mod.get_variable("params", "kernel")  # HWIO
         strides, padding, groups = _conv_lax_config(mod, x.ndim - 2)
 
-        s_in = jnp.float32(absmax / 127.0)
+        s_in = jnp.float32(absmax) / 127.0
         xq = _quantize_sym(x, s_in)
         # per-output-channel symmetric weight scales
         s_w = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 2), keepdims=True) / 127.0

@@ -146,6 +146,11 @@ class Trainer:
         seed: int = 12,
         decode_workers: int = 16,
         extractor_batch: int = 512,
+        mining_quantize: str | None = None,  # int8 PTQ for the per-epoch
+                                             # whole-train-set re-embedding
+                                             # (train_encodersKIT.py:110);
+                                             # eval extraction stays fp
+        mining_calib_batches: int = 1,
     ):
         self.module = bundle_online.module
         import inspect as _inspect
@@ -205,6 +210,25 @@ class Trainer:
             mesh=self.mesh,
             compute_dtype=compute_dtype,
             decode_workers=decode_workers,
+        )
+        # optional int8 mining extractor (VERDICT r3 item 8): the epoch
+        # re-embedding is eval-mode inference, so PTQ applies; a SEPARATE
+        # extractor keeps validation/eval extraction full-precision.
+        # update_variables drops its scales, so each epoch recalibrates on
+        # the first mining batches of the NEW weights.
+        self._mining_extractor = (
+            FeatureExtractor(
+                bundle_online,
+                img_size=self.img_size,
+                batch_size=extractor_batch,
+                mesh=self.mesh,
+                compute_dtype=compute_dtype,
+                decode_workers=decode_workers,
+                quantize=mining_quantize,
+                calib_batches=mining_calib_batches,
+            )
+            if mining_quantize is not None
+            else None
         )
         self._train_step = self._build_train_step()
 
@@ -440,16 +464,17 @@ class Trainer:
         (``train_encodersKIT.py:103-156``). ``use_momentum`` embeds with the
         EMA model instead (``--momentum_on_feature_extraction``,
         ``mainKIT.py:333-334``)."""
+        extractor = self._mining_extractor or self.extractor
         if use_momentum:
-            self.extractor.update_variables(
+            extractor.update_variables(
                 {"params": self.state.momentum_params,
                  "batch_stats": self.state.momentum_batch_stats}
             )
         else:
-            self.extractor.update_variables(
+            extractor.update_variables(
                 {"params": self.state.params, "batch_stats": self.state.batch_stats}
             )
-        feats = self.extractor.extract(self.sampler.table, verbose=verbose)
+        feats = extractor.extract(self.sampler.table, verbose=verbose)
         class_idx = np.asarray(
             [self.sampler.label_to_class[l] for l in self.sampler.labels], np.int32
         )

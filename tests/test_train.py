@@ -273,6 +273,65 @@ def test_trainer_jpm_margin_head(synth, head):
     )
 
 
+def test_mining_quantize_int8(synth):
+    """--mining_quantize int8 (VERDICT r3 item 8): the per-epoch mining
+    re-embedding runs PTQ while validation extraction stays fp. The mined
+    set must stay within the protocol's tolerance of the fp mining: centers
+    cosine-close, proxy slots mostly identical selections, diagnostics in
+    band — and a subsequent epoch trains to a loss close to the fp-mined
+    one (identical batches; only proxies/centers differ)."""
+    from daliid_tpu.models.resnet import ResNet50ReID
+
+    splits, _ = synth
+    t = splits["train"]
+
+    def resnet_pair():
+        m = ResNet50ReID(stage_sizes=(1, 1, 1, 1))
+        v = m.init({"params": jax.random.key(0)}, jnp.zeros((1, *IMG, 3)), train=False)
+        online = ModelBundle(module=m, variables=v, feature_dim=2048, name="tinyr")
+        mom = ModelBundle(module=m, variables=jax.tree.map(jnp.copy, v),
+                          feature_dim=2048, name="tinyr")
+        return online, mom
+
+    def make_trainer(**kw):
+        on, mo = resnet_pair()
+        sampler = PKBatchSampler(t, t.pids, P=3, K=2, kind_of_transform=0, seed=0)
+        return Trainer(on, mo, sampler, img_size=IMG, num_epochs=4, base_lr=1e-3,
+                       compute_dtype=jnp.float32, extractor_batch=16, **kw)
+
+    tr_fp = make_trainer()
+    tr_q = make_trainer(mining_quantize="int8", mining_calib_batches=2)
+    assert tr_q._mining_extractor is not None
+    assert tr_q._mining_extractor is not tr_q.extractor
+    assert tr_q.extractor.quantize is None  # validation extraction stays fp
+
+    p_fp = tr_fp.mine_proxies()
+    p_q = tr_q.mine_proxies()
+    assert tr_q._mining_extractor.quant_scales is not None
+
+    # centers: same class structure, tight cosine band
+    cos_c = np.sum(p_fp.centers * p_q.centers, axis=1)
+    assert cos_c.min() > 0.995, cos_c.min()
+    np.testing.assert_array_equal(p_fp.proxy_labels, p_q.proxy_labels)
+    # proxies: farthest-point selection may flip a slot under int8 noise,
+    # but most selections must survive (rows are L2-normalized features)
+    cos_p = np.sum(p_fp.proxies * p_q.proxies, axis=1)
+    valid = p_fp.proxy_labels >= 0
+    assert (cos_p[valid] > 0.995).mean() >= 0.8, cos_p[valid]
+    assert abs(p_fp.mean_max_intra - p_q.mean_max_intra) < 0.05
+    assert abs(p_fp.min_inter - p_q.min_inter) < 0.05
+
+    # epoch-level: same batches, int8-mined proxies → loss within a few %
+    m_fp = tr_fp.train_epoch(1)
+    m_q = tr_q.train_epoch(1)
+    assert np.isfinite(m_q["loss"])
+    assert m_q["loss"] == pytest.approx(m_fp["loss"], rel=0.05), (m_fp, m_q)
+
+    # next epoch recalibrates on the new weights (scales dropped on update)
+    tr_q.mine_proxies()
+    assert tr_q._mining_extractor.quant_scales is not None
+
+
 def test_trainer_lr_applied(synth):
     splits, turb = synth
     t = splits["train"]
