@@ -23,12 +23,27 @@ deterministic crash loop (no forward progress between failures) stops
 after ``--max_restarts`` consecutive futile restarts instead of burning
 the fleet. ``cli/train.py --fault_inject_epoch`` provides the matching
 fault-injection hook for drills.
+
+Multi-host: ``--multihost N`` makes the supervisor the gang scheduler for
+an N-process ``jax.distributed`` run (one coordinator port per attempt,
+``--process_id`` injected per rank). Failure semantics follow production
+pod managers: the death of ANY rank dooms the gang (the survivors block
+in their next collective), so the supervisor tears the remaining ranks
+down (SIGTERM, then SIGKILL) and relaunches ALL ranks with ``--resume``
+from the newest committed checkpoint — which is bit-exact including RNG
+streams, so the stitched run equals an uninterrupted one
+(tests/test_distributed.py::test_multihost_failure_drill). The targeted
+``cli/train.py --fault_inject_rank`` hook SIGKILLs a single rank for
+drills. On real multi-machine deployments run one supervisor per host
+with the same flags; the checkpoint directory must be on a shared
+filesystem (as on TPU pods).
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+import socket
 import subprocess
 import sys
 import time
@@ -51,10 +66,78 @@ def build_argparser() -> argparse.ArgumentParser:
              "count)",
     )
     p.add_argument(
+        "--multihost", type=int, default=0, metavar="N",
+        help="gang-schedule N coordinated ranks over jax.distributed "
+             "(localhost coordinator; --process_id injected per rank). Any "
+             "rank failure tears down the whole gang and relaunches all "
+             "ranks with --resume. 0 = single-process (default)",
+    )
+    p.add_argument(
+        "--teardown_grace_seconds", type=float, default=10.0,
+        help="multihost: how long to let surviving ranks exit on their own "
+             "after a rank failure before SIGTERM (then SIGKILL after 5 s)",
+    )
+    p.add_argument(
         "train_args", nargs=argparse.REMAINDER,
         help="'--' followed by the full cli.train argv",
     )
     return p
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_gang(train_argv, num_processes: int, grace_seconds: float) -> int:
+    """One attempt of an N-rank jax.distributed gang. Returns 0 only when
+    every rank exits 0; on any rank failure the survivors (typically blocked
+    in a collective on the dead rank) are torn down — SIGTERM after the
+    grace window, SIGKILL 5 s later — and the first failing rank's code is
+    returned. A fresh coordinator port per attempt avoids TIME_WAIT reuse."""
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = []
+    for rank in range(num_processes):
+        cmd = [
+            sys.executable, "-m", "daliid_tpu.cli.train", *train_argv,
+            "--multihost", "--coordinator_address", coord,
+            "--num_processes", str(num_processes), "--process_id", str(rank),
+        ]
+        procs.append(subprocess.Popen(cmd))
+    print(f"[supervise] gang of {num_processes} ranks launched (coordinator {coord})",
+          flush=True)
+    while True:
+        codes = [p.poll() for p in procs]
+        if all(c == 0 for c in codes):
+            return 0
+        failed = [(i, c) for i, c in enumerate(codes) if c is not None and c != 0]
+        if failed:
+            rank, rc = failed[0]
+            alive = [i for i, c in enumerate(codes) if c is None]
+            print(
+                f"[supervise] rank {rank} exited rc={rc}"
+                + (f" — tearing down surviving rank(s) {alive}" if alive else ""),
+                flush=True,
+            )
+            deadline = time.time() + grace_seconds
+            while time.time() < deadline and any(p.poll() is None for p in procs):
+                time.sleep(0.2)
+            for p in procs:
+                if p.poll() is None:
+                    p.terminate()
+            deadline = time.time() + 5.0
+            while time.time() < deadline and any(p.poll() is None for p in procs):
+                time.sleep(0.2)
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            for p in procs:
+                p.wait()
+            return rc
+        time.sleep(0.5)
 
 
 def _latest_step(save_dir: str) -> int:
@@ -86,6 +169,15 @@ def main(args) -> int:
         raise SystemExit(
             "supervise requires the crash-resume channel: do not pass --ckpt_freq 0"
         )
+    if args.multihost >= 2 and (
+        targs.multihost or targs.coordinator_address is not None
+        or targs.num_processes is not None or targs.process_id is not None
+    ):
+        raise SystemExit(
+            "supervise --multihost owns the rank bootstrap: do not pass "
+            "--multihost/--coordinator_address/--num_processes/--process_id "
+            "in the train argv"
+        )
     save_dir = targs.path_to_save_models
 
     failures_without_progress = 0
@@ -96,9 +188,17 @@ def main(args) -> int:
         if attempt > 1 and "--resume" not in argv:
             argv.append("--resume")
         step_before = _latest_step(save_dir)
-        cmd = [sys.executable, "-m", "daliid_tpu.cli.train", *argv]
-        print(f"[supervise] attempt {attempt}: {' '.join(cmd)}", flush=True)
-        rc = subprocess.call(cmd)
+        if args.multihost >= 2:
+            print(
+                f"[supervise] attempt {attempt}: {args.multihost}-rank gang of "
+                f"daliid_tpu.cli.train {' '.join(argv)}",
+                flush=True,
+            )
+            rc = _run_gang(argv, args.multihost, args.teardown_grace_seconds)
+        else:
+            cmd = [sys.executable, "-m", "daliid_tpu.cli.train", *argv]
+            print(f"[supervise] attempt {attempt}: {' '.join(cmd)}", flush=True)
+            rc = subprocess.call(cmd)
         if rc == 0:
             print(f"[supervise] training completed after {attempt} attempt(s)")
             return 0

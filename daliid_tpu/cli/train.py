@@ -81,6 +81,14 @@ def build_argparser() -> argparse.ArgumentParser:
              "run completes. 0 disables",
     )
     p.add_argument(
+        "--fault_inject_rank", type=int, default=-1,
+        help="with --fault_inject_epoch on a multi-host run: SIGKILL only "
+             "this process index (a hard kill — no Python/orbax cleanup), "
+             "leaving the other ranks to be torn down by the supervisor "
+             "(cli.supervise --multihost). -1 = every rank raises (the "
+             "single-host drill)",
+    )
+    p.add_argument(
         "--num_classes", type=int, default=0,
         help="classifier head size for classifier/JPM models; -1 = #train ids",
     )
@@ -150,7 +158,8 @@ def config_from_args(args) -> TrainConfig:
 
 
 def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False, num_iter: int = 1,
-         momentum_on_feature_extraction: bool = False, fault_inject_epoch: int = 0):
+         momentum_on_feature_extraction: bool = False, fault_inject_epoch: int = 0,
+         fault_inject_rank: int = -1):
     from daliid_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -330,34 +339,52 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
             r1 = float(max(cmc[0], cmc_m[0]))
             if r1 > best_r1:
                 best_r1, best_iter = r1, epoch
+                # orbax save is a collective — every process participates;
+                # the plain-file npz/json twins are process-0-only (on a
+                # shared filesystem concurrent writers would race)
                 ckpt.save(epoch, trainer.state, metrics={"rank1": r1, "mAP": float(mAP)},
                           rng=trainer.rng_state())
-                save_variables(
-                    os.path.join(cfg.save_dir, f"model_online_{cfg.model_name}_{cfg.version}.npz"),
-                    trainer.online_variables(),
-                )
-                save_variables(
-                    os.path.join(cfg.save_dir, f"model_momentum_{cfg.model_name}_{cfg.version}.npz"),
-                    trainer.momentum_variables(),
-                )
+                if jax.process_index() == 0:
+                    save_variables(
+                        os.path.join(cfg.save_dir, f"model_online_{cfg.model_name}_{cfg.version}.npz"),
+                        trainer.online_variables(),
+                    )
+                    save_variables(
+                        os.path.join(cfg.save_dir, f"model_momentum_{cfg.model_name}_{cfg.version}.npz"),
+                        trainer.momentum_variables(),
+                    )
             progress.append(
                 {"epoch": epoch, "rank1": float(cmc[0]), "mAP": float(mAP),
                  "rank1_momentum": float(cmc_m[0]), "mAP_momentum": float(mAP_m), **{
                      k: float(v) for k, v in means.items()}}
             )
-            with open(
-                os.path.join(cfg.metrics_dir, f"progress_{cfg.model_name}_{cfg.version}.json"), "w"
-            ) as f:
-                json.dump(progress, f, indent=2)
+            if jax.process_index() == 0:
+                with open(
+                    os.path.join(cfg.metrics_dir, f"progress_{cfg.model_name}_{cfg.version}.json"), "w"
+                ) as f:
+                    json.dump(progress, f, indent=2)
             print(f"Best R1: {best_r1 * 100:.2f} and best iter: {best_iter}")
 
         if fault_inject_epoch and epoch == fault_inject_epoch and not resume:
             # drill hook for cli/supervise.py: die before this epoch's
             # crash-resume save lands, so recovery must re-train it
-            raise RuntimeError(
-                f"fault injection: simulated crash after epoch {epoch} "
-                f"(--fault_inject_epoch)"
-            )
+            if fault_inject_rank < 0 or jax.process_index() == fault_inject_rank:
+                if fault_inject_rank >= 0:
+                    # multi-host drill: hard-kill ONE rank (no Python/orbax
+                    # cleanup — the surviving ranks block in their next
+                    # collective until the supervisor tears the gang down)
+                    import signal
+
+                    print(
+                        f"fault injection: SIGKILL rank {jax.process_index()} "
+                        f"after epoch {epoch} (--fault_inject_rank)",
+                        flush=True,
+                    )
+                    os.kill(os.getpid(), signal.SIGKILL)
+                raise RuntimeError(
+                    f"fault injection: simulated crash after epoch {epoch} "
+                    f"(--fault_inject_epoch)"
+                )
 
         if latest_ckpt is not None and epoch % cfg.ckpt_freq == 0:
             # wait=True: this is the durability channel — an async save that
@@ -380,4 +407,5 @@ if __name__ == "__main__":
     main(config_from_args(args), resume=args.resume, skip_initial_eval=args.skip_initial_eval,
          num_iter=args.num_iter,
          momentum_on_feature_extraction=bool(args.momentum_on_feature_extraction),
-         fault_inject_epoch=args.fault_inject_epoch)
+         fault_inject_epoch=args.fault_inject_epoch,
+         fault_inject_rank=args.fault_inject_rank)

@@ -139,6 +139,34 @@ class CheckpointManager:
             rng = {k: np.asarray(v) for k, v in rng.items() if k != "valid"}
         return state, int(payload["epoch"]), rng
 
+    def restore_host(self, epoch: int | None = None):
+        """→ (state pytree, epoch, rng | None) entirely as host numpy,
+        ignoring the saving run's device topology — for inspecting a
+        multi-process (pod) checkpoint from an arbitrary process (e.g. the
+        multi-host failure drill's bit-exactness audit, or offline export
+        tooling). The plain :meth:`restore` maps arrays back onto devices
+        and requires a compatible mesh/template."""
+        self._mgr.wait_until_finished()
+        step = epoch if epoch is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        path = os.path.join(self.directory, str(step), "default")
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path).item_metadata
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+        )
+        payload = ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+        )
+        rng = payload.get("rng")
+        if rng is None or not int(rng["valid"]):
+            rng = None
+        else:
+            rng = {k: np.asarray(v) for k, v in rng.items() if k != "valid"}
+        return payload["state"], int(payload["epoch"]), rng
+
     def metrics(self, step: int) -> Dict[str, float]:
         """Saved eval metrics for ``step`` (empty if none were recorded)."""
         self._mgr.wait_until_finished()

@@ -377,6 +377,104 @@ def test_two_process_gallery_search(tmp_path):
     assert all("cross-process gallery search OK" in o for o in outs)
 
 
+def _drill_env():
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=2"])
+    return env
+
+
+@pytest.mark.slow
+def test_multihost_failure_drill(tmp_path):
+    """The multi-host failure story end to end (SURVEY §5 failure-recovery,
+    beyond the reference which has none): a 2-process gang trains under
+    cli.supervise --multihost; one rank is SIGKILLed mid-run
+    (--fault_inject_rank, a hard kill with no orbax cleanup, so the other
+    rank blocks in its next collective); the supervisor detects the death,
+    tears down the survivor, and relaunches BOTH ranks with --resume. The
+    stitched run must be bit-exact vs an uninterrupted gang — every state
+    leaf (params, batch stats, opt state, momentum copies) and the restored
+    RNG streams identical at the final epoch."""
+    import numpy as np
+
+    from daliid_tpu.data import make_synthetic_dataset
+
+    root = str(tmp_path / "ds")
+    market = os.path.join(root, "Market-1501-v15.09.15")
+    os.makedirs(market)
+    make_synthetic_dataset(market, num_ids=4, imgs_per_id_train=3, imgs_per_id_test=2,
+                           height=32, width=16, with_turbulence=False)
+
+    def supervise(save_dir, *extra):
+        argv = [
+            sys.executable, "-m", "daliid_tpu.cli.supervise",
+            "--multihost", "2", "--max_restarts", "2", "--backoff_seconds", "0",
+            "--teardown_grace_seconds", "5", "--",
+            "--dataset", "Market", "--data_root", root,
+            "--img_height", "32", "--img_width", "16",
+            "--model_name", "tiny_vit_smoke", "--epochs", "3",
+            "--P", "2", "--K", "2", "--eval_freq", "100", "--ckpt_freq", "1",
+            "--kind_of_transform", "0", "--compute_dtype", "float32",
+            "--extractor_batch", "16", "--skip_initial_eval",
+            "--path_to_save_models", str(tmp_path / save_dir),
+            "--path_to_save_metrics", str(tmp_path / f"{save_dir}_metrics"),
+            *extra,
+        ]
+        r = subprocess.run(argv, env=_drill_env(), stdout=subprocess.PIPE,
+                           stderr=subprocess.STDOUT, text=True, timeout=1200)
+        return r.returncode, r.stdout
+
+    rc_a, out_a = supervise("ckpt_clean")
+    assert rc_a == 0, out_a[-4000:]
+    assert "training completed after 1 attempt(s)" in out_a, out_a[-4000:]
+
+    rc_b, out_b = supervise("ckpt_fault", "--fault_inject_epoch", "2",
+                            "--fault_inject_rank", "1")
+    assert rc_b == 0, out_b[-4000:]
+    assert "fault injection: SIGKILL rank 1 after epoch 2" in out_b, out_b[-4000:]
+    assert "exited rc=-9" in out_b, out_b[-4000:]          # a real SIGKILL
+    assert "[supervise] attempt 2" in out_b, out_b[-4000:]
+    # epoch 2's crash-resume save never committed (the kill lands before it,
+    # and the survivor's lone save can't pass the orbax barrier)
+    assert "Resumed from epoch 1" in out_b, out_b[-4000:]
+    assert "training completed after 2 attempt(s)" in out_b, out_b[-4000:]
+
+    # stitched == uninterrupted, bit for bit
+    from daliid_tpu.train.checkpoint import CheckpointManager
+
+    def final_state(save_dir):
+        mgr = CheckpointManager(str(tmp_path / save_dir / "latest"),
+                                max_to_keep=1, track_best=False)
+        # host-numpy restore: the checkpoint was written by a 2-process gang
+        # whose device ids don't exist in this test process
+        state, epoch, rng = mgr.restore_host()
+        mgr.close()
+        return state, epoch, rng
+
+    state_a, epoch_a, rng_a = final_state("ckpt_clean")
+    state_b, epoch_b, rng_b = final_state("ckpt_fault")
+    assert epoch_a == epoch_b == 3
+    leaves_a = jax_tree_leaves(state_a)
+    leaves_b = jax_tree_leaves(state_b)
+    assert len(leaves_a) == len(leaves_b) and len(leaves_a) > 0
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    assert rng_a is not None and rng_b is not None
+    for k in rng_a:
+        np.testing.assert_array_equal(rng_a[k], rng_b[k])
+
+
+def jax_tree_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
 @pytest.mark.slow
 def test_two_process_sharded_ranking(tmp_path):
     """evaluate_rank_sharded across two OS processes: each host ranks its
