@@ -260,17 +260,10 @@ def main(args):
                 d = validator.distance_matrix(qh, gh)
                 distmats.append(np.asarray(d))
                 report(f":head{h}", d)
-            if getattr(args, "head_weighting", "mean") == "magnitude":
-                weights = [
-                    np.maximum(
-                        np.linalg.norm(qh, axis=1, keepdims=True),
-                        np.linalg.norm(gh, axis=1, keepdims=True).T,
-                    )
-                    for qh, gh in zip(q_fvs, g_fvs)
-                ]
-                ensemble = sum(w * d for w, d in zip(weights, distmats)) / sum(weights)
-            else:
-                ensemble = np.mean(distmats, axis=0)
+            ensemble = validator.multihead_distance_matrix(
+                q_fvs, g_fvs, getattr(args, "head_weighting", "mean"),
+                distmats=distmats,
+            )
             results[target] = report(":ensemble", ensemble)
             if args.mrfuse and len(distmats) >= 3:
                 from daliid_tpu.eval.meta_recognition import mrfuse

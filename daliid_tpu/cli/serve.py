@@ -257,17 +257,27 @@ class IdentificationService:
                         f"{self.index._host_buf.shape[1]}"
                     )
                 k = int(e["req"].get("topk", self.topk))
-                key = (bool(e["req"].get("rerank", False)),
-                       int(e["req"].get("rerank_depth", 64)))
+                # plain searches are exact, so a larger shared k is
+                # prefix-identical per request and any mix can share one
+                # dispatch at k_max. Reranked results DEPEND on shortlist
+                # depth (k-reciprocal neighbor sets change with the
+                # candidate set), so rerank requests group only on an
+                # identical (depth, k) — a response must not change with
+                # whatever else happened to be in flight
+                if e["req"].get("rerank", False):
+                    key = (True, int(e["req"].get("rerank_depth", 64)), k)
+                else:
+                    key = (False, 0, 0)
                 groups.setdefault(key, []).append((e, fvs, k))
             except Exception as exc:
                 fail(e, exc)
-        for (rerank, depth), entries in groups.items():
+        for (rerank, depth, _), entries in groups.items():
             try:
                 probes = np.concatenate([fvs for _, fvs, _ in entries])
                 k_max = max(k for _, _, k in entries)
                 sims, ids, pids = self.index.search(
-                    probes, k=k_max, rerank=rerank, rerank_depth=depth,
+                    probes, k=k_max, rerank=rerank,
+                    rerank_depth=depth if rerank else 64,
                 )
                 self._counters["search_dispatches"] += 1
                 off = 0

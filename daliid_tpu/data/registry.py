@@ -363,16 +363,20 @@ def _load_synthetic(root):
 
     base = os.path.join(root, "Synthetic")
     marker = os.path.join(base, "bounding_box_train")
-    os.makedirs(root, exist_ok=True)
-    with open(base + ".lock", "w") as lf:
-        fcntl.flock(lf, fcntl.LOCK_EX)
-        try:
-            if not os.path.isdir(marker):
-                make_synthetic_dataset(
-                    base, num_ids=16, imgs_per_id_train=8, imgs_per_id_test=4
-                )
-        finally:
-            fcntl.flock(lf, fcntl.LOCK_UN)
+    if not os.path.isdir(marker):
+        # double-checked: only would-be generators touch the lock file, so
+        # loading a pre-generated dataset from read-only storage stays a
+        # pure read path
+        os.makedirs(root, exist_ok=True)
+        with open(base + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                if not os.path.isdir(marker):
+                    make_synthetic_dataset(
+                        base, num_ids=16, imgs_per_id_train=8, imgs_per_id_test=4
+                    )
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
     return {
         "train": parse_market_duke_dir(os.path.join(base, "bounding_box_train")),
         "gallery": parse_market_duke_dir(os.path.join(base, "bounding_box_test")),

@@ -165,13 +165,17 @@ class Validator:
             )
         return self.rank(self.reranked_distance_matrix(q_fvs, g_fvs), queries, gallery)
 
-    def multihead_distance_matrix(self, q_heads, g_heads, head_weighting: str = "mean"):
+    def multihead_distance_matrix(self, q_heads, g_heads, head_weighting: str = "mean",
+                                  distmats=None):
         """Replicated ensemble distmat over head tuples — the reference's
-        merge (``evaluate.py:239-279``) for small sets / single device."""
-        distmats = [
-            np.asarray(self.distance_matrix(qh, gh))
-            for qh, gh in zip(q_heads, g_heads)
-        ]
+        merge (``evaluate.py:239-279``) for small sets / single device.
+        ``distmats`` takes precomputed per-head distmats (callers that also
+        report per-head metrics avoid recomputing them)."""
+        if distmats is None:
+            distmats = [
+                np.asarray(self.distance_matrix(qh, gh))
+                for qh, gh in zip(q_heads, g_heads)
+            ]
         if head_weighting == "magnitude":
             weights = [
                 np.maximum(

@@ -55,6 +55,22 @@ from jax import lax
 STATS_COLLECTION = "quant_stats"
 
 
+def _degenerate_scale(absmax) -> bool:
+    """True for a CONCRETE scalar <= 0 — degenerate calibration, fall back
+    to dynamic scales. Traced values (scales passed as jit arguments, the
+    zero-recompile mining-recalibration path) cannot be branched on at
+    trace time and are assumed valid; their producers filter ``v > 0`` on
+    the host. Accepts any host scalar type (Python numbers, numpy scalars,
+    concrete 0-d arrays) — an ``isinstance(int, float)`` check would
+    silently drop the guard for ``np.float32``."""
+    if isinstance(absmax, jax.core.Tracer):
+        return False
+    try:
+        return float(absmax) <= 0.0
+    except (TypeError, ValueError):
+        return False
+
+
 def _module_path(mod) -> str:
     return "/".join(str(p) for p in mod.path)
 
@@ -229,7 +245,7 @@ def make_quantized_interceptor(
                 and not (skip is not None and skip(path))
             ):
                 absmax = scales.get(path)
-                if isinstance(absmax, (int, float)) and absmax <= 0.0:
+                if _degenerate_scale(absmax):
                     absmax = None  # degenerate calibration → dynamic scales
                 return _quantized_dense(mod, x, absmax)
             return next_fun(*args, **kwargs)
@@ -239,7 +255,7 @@ def make_quantized_interceptor(
         absmax = scales.get(path)
         if (
             absmax is None
-            or (isinstance(absmax, (int, float)) and absmax <= 0.0)
+            or _degenerate_scale(absmax)
             or (skip is not None and skip(path))
         ):
             return next_fun(*args, **kwargs)

@@ -116,12 +116,13 @@ def main():
     dev_imgs = jax.device_put(
         rng.integers(0, 256, (args.batch, *IMG, 3), np.uint8), ex._batch_shard
     )
-    out = ex._forward(ex._variables, dev_imgs)
+    scales = ex._scale_args if ex._scale_args is not None else {}
+    out = ex._forward(ex._variables, dev_imgs, scales)
     jax.block_until_ready(out)
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = ex._forward(ex._variables, dev_imgs)
+        out = ex._forward(ex._variables, dev_imgs, scales)
     jax.block_until_ready(out)
     dev_rate = args.batch * iters / (time.perf_counter() - t0)
     print(f"device-resident forward: {dev_rate:.0f} img/s")
