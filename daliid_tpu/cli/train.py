@@ -25,7 +25,7 @@ from daliid_tpu.config import TrainConfig
 from daliid_tpu.data.registry import load_dataset
 from daliid_tpu.eval.validate import get_validator, msmt17_balanced_accuracy
 from daliid_tpu.models import build_model_pair
-from daliid_tpu.models.factory import MARGIN_HEAD_MODELS, SIE_MODELS
+from daliid_tpu.models.factory import MARGIN_HEAD_MODELS, REMAT_MODELS, SIE_MODELS
 from daliid_tpu.parallel.distributed import add_multihost_flags, maybe_initialize_from_args
 from daliid_tpu.train.checkpoint import CheckpointManager, save_variables
 from daliid_tpu.train.sampler import PKBatchSampler
@@ -115,6 +115,16 @@ def build_argparser() -> argparse.ArgumentParser:
         help="SIE embedding scale (sie_xishu, vit_pytorch.py:453,461; "
              "cfg.MODEL.SIE_COE equivalent)",
     )
+    p.add_argument(
+        "--remat", type=str, default="none", choices=["none", "full", "tuned"],
+        help="transformer-family activation checkpointing "
+             "(models/vit.REMAT_MODES): 'tuned' saves qkv/attention-out/"
+             "norm2 per block, 'full' saves only block boundaries. Measured "
+             "SLOWER than the default at the protocol batch (XLA auto-remat "
+             "wins; BENCH.md §transformer-train) — an opt-in memory knob "
+             "for bigger batches/models; numerically equivalent "
+             "(tests/test_models.py)",
+    )
     # multi-host (DCN) bootstrap: run the SAME command on every host
     add_multihost_flags(p)
     return p
@@ -154,6 +164,7 @@ def config_from_args(args) -> TrainConfig:
         margin_m=args.cosine_margin,
         sie_cameras=args.sie_cameras,
         sie_coef=args.sie_coef,
+        remat=args.remat,
     )
 
 
@@ -228,11 +239,18 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
                 f"directly (1-based datasets need max+1 = {cam_max + 1}; "
                 "pass --sie_cameras -1 to size it automatically)"
             )
+    if cfg.remat != "none" and cfg.model_name not in REMAT_MODELS:
+        raise SystemExit(
+            f"--remat only applies to the transformer family "
+            f"{sorted(REMAT_MODELS)}; the CNN train step fits HBM at the "
+            f"protocol batch (BENCH.md §train-step) — drop the flag for "
+            f"{cfg.model_name!r}"
+        )
     online, momentum = build_model_pair(
         cfg.model_name, jax.random.key(cfg.seed), img_size=cfg.img_size, dtype=dtype,
         num_classes=num_classes, id_loss_type=cfg.id_loss_type, sie_cameras=sie_cameras,
         sie_coef=cfg.sie_coef,
-        margin_s=cfg.margin_s, margin_m=cfg.margin_m,
+        margin_s=cfg.margin_s, margin_m=cfg.margin_m, remat=cfg.remat,
     )
     if cfg.model_path:
         from daliid_tpu.train.checkpoint import load_variables

@@ -40,6 +40,12 @@ class TrainConfig:
     sie_coef: float = 1.5                 # SIE scale (sie_xishu factory
                                           # default, vit_pytorch.py:453,461;
                                           # cfg.MODEL.SIE_COE)
+    remat: str = "none"                   # transformer activation-checkpoint
+                                          # policy (models/vit.REMAT_MODES);
+                                          # 'none' measured fastest at the
+                                          # protocol batch (XLA auto-remat
+                                          # wins — BENCH.md); opt-in memory
+                                          # knob for bigger batches/models
 
     # sampler
     P: int = 16                           # mainKIT.py:326

@@ -52,6 +52,9 @@ SIE_MODELS = frozenset({"transreid", "transreid_jpm"})
 GELU_APPROX_MODELS = frozenset(
     {"vit", "vit_small", "deit_small", "transreid", "transreid_jpm"}
 )
+# Models whose factories plumb ``remat=`` into the transformer trunk
+# (vit.REMAT_MODES — explicit activation-checkpoint policy for training).
+REMAT_MODELS = GELU_APPROX_MODELS
 
 
 def register_model(name: str):
@@ -123,28 +126,28 @@ def _inception_v3(dtype=jnp.float32, feature="both", **kw):
 
 @register_model("vit")
 def _vit(dtype=jnp.float32, img_size=(256, 128), gelu_approx=False,
-         use_pallas_attention=False, **kw):
+         use_pallas_attention=False, remat="none", **kw):
     m = vit_base_reid(dtype=dtype, img_size=tuple(img_size), gelu_approx=gelu_approx,
-                      use_pallas_attention=use_pallas_attention)
+                      use_pallas_attention=use_pallas_attention, remat=remat)
     return m, 768
 
 
 @register_model("vit_small")
 def _vit_small(dtype=jnp.float32, img_size=(256, 128), gelu_approx=False,
-               use_pallas_attention=False, **kw):
+               use_pallas_attention=False, remat="none", **kw):
     """Reference-exact vit_small (vit_pytorch.py:461-468): 768/8/8, mlp 3,
     no qkv bias, qk_scale 768^-0.5."""
     m = vit_small_reid(dtype=dtype, img_size=tuple(img_size), gelu_approx=gelu_approx,
-                       use_pallas_attention=use_pallas_attention)
+                       use_pallas_attention=use_pallas_attention, remat=remat)
     return m, 768
 
 
 @register_model("deit_small")
 def _deit_small(dtype=jnp.float32, img_size=(256, 128), gelu_approx=False,
-                use_pallas_attention=False, **kw):
+                use_pallas_attention=False, remat="none", **kw):
     """DeiT-small shape (vit_pytorch.py:470-476)."""
     m = deit_small_reid(dtype=dtype, img_size=tuple(img_size), gelu_approx=gelu_approx,
-                        use_pallas_attention=use_pallas_attention)
+                        use_pallas_attention=use_pallas_attention, remat=remat)
     return m, 384
 
 
@@ -164,7 +167,8 @@ def _tiny_vit_smoke(dtype=jnp.float32, img_size=(32, 16), **kw):
 @register_model("transreid_jpm")
 def _transreid_jpm(dtype=jnp.float32, img_size=(256, 128), sie_cameras=0, sie_views=0,
                    sie_coef=1.5, num_classes=0, id_loss_type="softmax", margin_s=None,
-                   margin_m=None, gelu_approx=False, use_pallas_attention=False, **kw):
+                   margin_m=None, gelu_approx=False, use_pallas_attention=False,
+                   remat="none", **kw):
     """TransReID with the jigsaw patch module (make_models.py:221-389)."""
     from daliid_tpu.models.transreid_jpm import TransReIDJPM
 
@@ -172,18 +176,19 @@ def _transreid_jpm(dtype=jnp.float32, img_size=(256, 128), sie_cameras=0, sie_vi
         img_size=tuple(img_size), sie_cameras=sie_cameras, sie_views=sie_views,
         sie_coef=sie_coef, num_classes=num_classes, id_loss_type=id_loss_type,
         margin_s=margin_s, margin_m=margin_m, gelu_approx=gelu_approx,
-        use_pallas_attention=use_pallas_attention, dtype=dtype,
+        use_pallas_attention=use_pallas_attention, remat=remat, dtype=dtype,
     )
     return m, 5 * 768
 
 
 @register_model("transreid")
 def _transreid(dtype=jnp.float32, img_size=(256, 128), sie_cameras=0, sie_views=0,
-               sie_coef=1.5, gelu_approx=False, use_pallas_attention=False, **kw):
+               sie_coef=1.5, gelu_approx=False, use_pallas_attention=False,
+               remat="none", **kw):
     m = transreid_base(
         img_size=tuple(img_size), sie_cameras=sie_cameras, sie_views=sie_views,
         sie_coef=sie_coef, gelu_approx=gelu_approx,
-        use_pallas_attention=use_pallas_attention, dtype=dtype,
+        use_pallas_attention=use_pallas_attention, remat=remat, dtype=dtype,
     )
     return m, 768
 

@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from daliid_tpu.models.norm import TorchBatchNorm
 
-from daliid_tpu.models.vit import Block, ViTReID
+from daliid_tpu.models.vit import Block, ViTReID, remat_block_cls
 
 
 def shuffle_unit(features: jnp.ndarray, shift: int, group: int, begin: int = 1) -> jnp.ndarray:
@@ -70,6 +70,7 @@ class TransReIDJPM(nn.Module):
     margin_m: float | None = None  # cfg.SOLVER.COSINE_MARGIN
     gelu_approx: bool = False   # tanh GELU (see models/vit.py — non-parity, opt-in)
     use_pallas_attention: bool = False  # fused-attention kernel (models/vit.py)
+    remat: str = "none"         # trunk + branch-block remat (vit.REMAT_MODES)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -93,17 +94,19 @@ class TransReIDJPM(nn.Module):
             local_feature=True,
             gelu_approx=self.gelu_approx,
             use_pallas_attention=self.use_pallas_attention,
+            remat=self.remat,
             dtype=self.dtype,
             name="base",
         )
         tokens = trunk(x, camera_ids=camera_ids, view_ids=view_ids, train=train)
 
         def branch_block(name):
-            blk = Block(self.num_heads, self.mlp_ratio, 0.0, gelu_approx=self.gelu_approx,
-                        use_pallas_attention=self.use_pallas_attention,
-                        dtype=self.dtype, name=f"{name}_block")
+            BlockCls = remat_block_cls(self.remat)
+            blk = BlockCls(self.num_heads, self.mlp_ratio, 0.0, gelu_approx=self.gelu_approx,
+                           use_pallas_attention=self.use_pallas_attention,
+                           dtype=self.dtype, name=f"{name}_block")
             ln = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"{name}_norm")
-            return lambda t: ln(blk(t.astype(self.dtype), train=train)).astype(jnp.float32)
+            return lambda t: ln(blk(t.astype(self.dtype), train)).astype(jnp.float32)
 
         b1 = branch_block("b1")
         b2 = branch_block("b2")  # shared across the 4 local chunks (make_models.py:333-348)

@@ -23,8 +23,58 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from daliid_tpu.models.norm import TorchBatchNorm
+
+#: Remat modes for the transformer trunk (``remat=`` on :class:`ViTReID` /
+#: :class:`TransReIDJPM`, ``--remat`` on the train CLI). At the protocol
+#: batch (384 @ 256x128) ViT-B's saved activations (~17 GB) exceed v5e HBM,
+#: so with ``none`` XLA auto-remats every block (~25% of the step is
+#: recompute — BENCH.md §transformer-train). ``tuned`` checkpoints each
+#: block explicitly but SAVES the qkv projections, the attention output,
+#: and the post-norm2 activations (~9 GB at protocol batch — fits), so the
+#: backward only recomputes the attention probs and the MLP hidden — the
+#: two tensors too big to save — instead of the whole block. ``full`` saves
+#: only block boundaries (minimum memory, maximum recompute).
+#:
+#: **Measured negative result — keep the default ``none``** (BENCH.md
+#: §transformer-train, protocol batch on v5e): none 381 ms (1,000 img/s),
+#: tuned 434 ms (880), full 464 ms (824). XLA's auto-remat pass chooses
+#: recompute at *fusion* granularity under actual memory pressure;
+#: ``jax.checkpoint`` forces block-granularity recompute and its
+#: ``prevent_cse`` barriers inhibit cross-boundary fusion, which costs more
+#: than the saved HBM traffic buys. The knob stays for bigger-than-protocol
+#: batches/models where auto-remat may thrash. All three
+#: compute the same math; ``jax.checkpoint`` moves XLA fusion boundaries, so
+#: f32 outputs/grads differ by reduction reassociation — the same class of
+#: difference as an XLA version bump (measured: jit-vs-eager on the
+#: unmodified model shows the same-magnitude deltas, incl. O(1) rel-L2 on
+#: cancellation-dominated LayerNorm bias grads). Equivalence is pinned in
+#: f64, where every grad agrees to rel-L2 < 1e-6
+#: (tests/test_models.py::test_remat_numerically_equivalent).
+REMAT_MODES = ("none", "full", "tuned")
+
+
+def remat_block_cls(remat: str):
+    """Resolve the transformer Block class for a remat mode.
+
+    Returned class must be called with positional ``(x, train)`` — ``train``
+    is ``static_argnums`` under :func:`flax.linen.remat`.
+    """
+    if remat == "none":
+        return Block
+    if remat == "full":
+        return nn.remat(Block, static_argnums=(2,))
+    if remat == "tuned":
+        return nn.remat(
+            Block,
+            static_argnums=(2,),
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "vit_qkv", "vit_attn_out", "vit_norm2"
+            ),
+        )
+    raise ValueError(f"remat must be one of {REMAT_MODES}, got {remat!r}")
 
 
 def drop_path(x, key, rate: float):
@@ -73,6 +123,7 @@ class Attention(nn.Module):
         B, N, C = x.shape
         head_dim = C // self.num_heads
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = checkpoint_name(qkv, "vit_qkv")
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -96,6 +147,7 @@ class Attention(nn.Module):
                 heads(q), heads(k), heads(v), scale=self.qk_scale
             )
         out = out.reshape(B, N, C).astype(self.dtype)
+        out = checkpoint_name(out, "vit_attn_out")
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
@@ -123,6 +175,7 @@ class Block(nn.Module):
             y = drop_path(y, self.make_rng("droppath"), self.drop_path_rate)
         x = x + y
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = checkpoint_name(y, "vit_norm2")
         y = Mlp(int(C * self.mlp_ratio), C, gelu_approx=self.gelu_approx,
                 dtype=self.dtype, name="mlp")(y, train)
         if train and self.drop_path_rate > 0.0:
@@ -169,6 +222,8 @@ class ViTReID(nn.Module):
                                   # last block (TransReID JPM trunk mode,
                                   # vit_pytorch.py:375-404 local_feature path)
     use_pallas_attention: bool = False
+    remat: str = "none"           # see REMAT_MODES; 'tuned' lifts the
+                                  # auto-remat recompute at protocol batch
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -222,14 +277,15 @@ class ViTReID(nn.Module):
         # Linear drop-path schedule across depth (vit_pytorch.py:343-345).
         dprs = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         run_depth = self.depth - 1 if self.local_feature else self.depth
+        BlockCls = remat_block_cls(self.remat)
         for i in range(run_depth):
-            x = Block(
+            x = BlockCls(
                 self.num_heads, self.mlp_ratio, dprs[i],
                 qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                 gelu_approx=self.gelu_approx,
                 use_pallas_attention=self.use_pallas_attention,
                 dtype=self.dtype, name=f"block{i}",
-            )(x, train=train)
+            )(x, train)
 
         if self.local_feature:
             # JPM trunk: unnormed token sequence before the last block

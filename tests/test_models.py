@@ -100,6 +100,59 @@ def test_vit_sie_changes_output(rng):
     assert not np.allclose(np.asarray(out0), np.asarray(out1))
 
 
+def _rel_l2(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+
+
+@pytest.mark.parametrize("remat", ["full", "tuned"])
+@pytest.mark.parametrize("name", ["vit_small", "transreid_jpm"])
+def test_remat_numerically_equivalent(rng, name, remat):
+    """remat re-executes the same math, but jax.checkpoint compiles each
+    block as one closed call — XLA fusion boundaries move, so f32
+    reductions reassociate. On LayerNorm *bias* gradients that rounding is
+    amplified by catastrophic cancellation to O(1) rel-L2 — measured the
+    SAME magnitude for plain jit-vs-eager on the unmodified model, so f32
+    comparison cannot distinguish remat from an XLA version bump. The
+    equivalence claim is checked where it is decidable: in f64 compute
+    (dtype=jnp.float64 under a scoped enable_x64), every parameter
+    gradient of a train-mode (droppath-active) forward agrees to
+    rel-L2 < 1e-6 (measured ≤ 4e-9; a semantically different droppath
+    mask or saved-tensor bug would be O(1))."""
+    kw = dict(num_classes=5, id_loss_type="softmax") if name == "transreid_jpm" else {}
+    with jax.enable_x64(True):
+        x = jnp.asarray(rng.normal(size=(2, *IMG, 3)))
+        base = get_model(name, jax.random.key(0), img_size=IMG,
+                         dtype=jnp.float64, **kw)
+        rem = get_model(name, jax.random.key(0), img_size=IMG,
+                        dtype=jnp.float64, remat=remat, **kw)
+        assert rem.module.remat == remat
+
+        f0 = jax.tree.leaves(base.apply_eval(x))
+        f1 = jax.tree.leaves(rem.apply_eval(x))
+        for a, b in zip(f1, f0):
+            assert _rel_l2(a, b) < 1e-6
+
+        def loss(bundle, variables):
+            rngs = {"droppath": jax.random.key(7)}
+            out = bundle.module.apply(variables, x, train=True, rngs=rngs,
+                                      mutable=["batch_stats"])[0]
+            return sum(jnp.sum(t ** 2) for t in jax.tree.leaves(out))
+
+        g0 = jax.grad(lambda v: loss(base, v))(base.variables)
+        g1 = jax.grad(lambda v: loss(rem, v))(rem.variables)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+            assert _rel_l2(a, b) < 1e-6
+
+
+def test_remat_rejects_unknown_mode():
+    from daliid_tpu.models.vit import remat_block_cls
+
+    with pytest.raises(ValueError, match="remat"):
+        remat_block_cls("everything")
+
+
 @pytest.mark.parametrize("name", ["deit_small", "transreid_jpm"])
 def test_gelu_approx_plumbed_through_factory(rng, name):
     """`gelu_approx=True` must actually reach the MLP blocks through the

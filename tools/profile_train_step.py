@@ -33,6 +33,13 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--img_height", type=int, default=256)
     ap.add_argument("--img_width", type=int, default=128)
+    ap.add_argument("--remat", type=str, default="none",
+                    choices=["none", "full", "tuned"],
+                    help="ViT family: explicit per-block activation "
+                         "checkpointing (models/vit.REMAT_MODES); measured "
+                         "slower than XLA auto-remat at the protocol batch "
+                         "(BENCH.md §transformer-train) — memory knob for "
+                         "bigger batches")
     ap.add_argument("--pallas_attention", action="store_true",
                     help="ViT family: fused-attention Pallas kernel — its "
                          "custom VJP recomputes the (N, N) probs in-kernel, "
@@ -71,6 +78,8 @@ def main():
         model_kw = dict(num_classes=C, id_loss_type="softmax")
     if args.pallas_attention:
         model_kw["use_pallas_attention"] = True
+    if args.remat != "none":
+        model_kw["remat"] = args.remat
     online, momentum = build_model_pair(
         args.model, jax.random.key(0), img_size=IMG, dtype=jnp.bfloat16, **model_kw)
     sampler = PKBatchSampler(train, train.pids, P=2, K=2, kind_of_transform=1,
