@@ -26,6 +26,7 @@ from daliid_tpu.data.registry import load_dataset
 from daliid_tpu.eval.validate import get_validator, msmt17_balanced_accuracy
 from daliid_tpu.models import build_model_pair
 from daliid_tpu.models.factory import MARGIN_HEAD_MODELS, REMAT_MODELS, SIE_MODELS
+from daliid_tpu.models.vit import REMAT_MODES
 from daliid_tpu.parallel.distributed import add_multihost_flags, maybe_initialize_from_args
 from daliid_tpu.train.checkpoint import CheckpointManager, save_variables
 from daliid_tpu.train.sampler import PKBatchSampler
@@ -116,7 +117,7 @@ def build_argparser() -> argparse.ArgumentParser:
              "cfg.MODEL.SIE_COE equivalent)",
     )
     p.add_argument(
-        "--remat", type=str, default="none", choices=["none", "full", "tuned"],
+        "--remat", type=str, default="none", choices=REMAT_MODES,
         help="transformer-family activation checkpointing "
              "(models/vit.REMAT_MODES): 'tuned' saves qkv/attention-out/"
              "norm2 per block, 'full' saves only block boundaries. Measured "

@@ -54,7 +54,11 @@ GELU_APPROX_MODELS = frozenset(
 )
 # Models whose factories plumb ``remat=`` into the transformer trunk
 # (vit.REMAT_MODES — explicit activation-checkpoint policy for training).
-REMAT_MODELS = GELU_APPROX_MODELS
+# Independent of GELU_APPROX_MODELS: a factory must explicitly pass
+# ``remat=`` through to earn a spot here, or the flag silently no-ops.
+REMAT_MODELS = frozenset(
+    {"vit", "vit_small", "deit_small", "transreid", "transreid_jpm"}
+)
 
 
 def register_model(name: str):

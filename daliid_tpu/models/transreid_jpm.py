@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from daliid_tpu.models.norm import TorchBatchNorm
 
-from daliid_tpu.models.vit import Block, ViTReID, remat_block_cls
+from daliid_tpu.models.vit import ViTReID, remat_block_cls
 
 
 def shuffle_unit(features: jnp.ndarray, shift: int, group: int, begin: int = 1) -> jnp.ndarray:

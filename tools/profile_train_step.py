@@ -34,7 +34,6 @@ def main():
     ap.add_argument("--img_height", type=int, default=256)
     ap.add_argument("--img_width", type=int, default=128)
     ap.add_argument("--remat", type=str, default="none",
-                    choices=["none", "full", "tuned"],
                     help="ViT family: explicit per-block activation "
                          "checkpointing (models/vit.REMAT_MODES); measured "
                          "slower than XLA auto-remat at the protocol batch "
@@ -79,6 +78,16 @@ def main():
     if args.pallas_attention:
         model_kw["use_pallas_attention"] = True
     if args.remat != "none":
+        from daliid_tpu.models.factory import REMAT_MODELS
+        from daliid_tpu.models.vit import REMAT_MODES
+
+        if args.remat not in REMAT_MODES:
+            raise SystemExit(f"--remat must be one of {REMAT_MODES}")
+        if args.model not in REMAT_MODELS:
+            raise SystemExit(
+                f"--remat only applies to {sorted(REMAT_MODELS)}; the "
+                f"{args.model!r} factory would silently drop it"
+            )
         model_kw["remat"] = args.remat
     online, momentum = build_model_pair(
         args.model, jax.random.key(0), img_size=IMG, dtype=jnp.bfloat16, **model_kw)
