@@ -40,6 +40,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--turbulence_dir_path", type=str, default=None)
     p.add_argument("--turbulence_strength", type=int, default=None)
+    # BRIAR-style manifest ingest (evaluate.py:77-128,643-645): .npy object
+    # arrays of [path, prefixed-id, camid, distance-tag] rows, consumed by
+    # `--targets BRIAR`; probes tagged "range" and probe-only identities
+    # are filtered (data/briar.py)
+    p.add_argument("--train_file_path", type=str, default=None,
+                   help="BRIAR mode: training-manifest .npy (evaluate.py:643)")
+    p.add_argument("--queries_file_path", type=str, default=None,
+                   help="BRIAR mode: probe-manifest .npy (evaluate.py:644)")
+    p.add_argument("--gallery_file_path", type=str, default=None,
+                   help="BRIAR mode: gallery-manifest .npy (evaluate.py:645)")
     p.add_argument(
         "--multiple_output", action="store_true",
         help="multi-head model: evaluate each head and their ensembles (evaluate.py:239-279)",
@@ -140,6 +150,22 @@ def main(args):
         )
     if getattr(args, "rerank", False) and args.multiple_output:
         raise SystemExit("--rerank supports single-output evaluation only")
+    briar_paths = (
+        getattr(args, "train_file_path", None),
+        getattr(args, "queries_file_path", None),
+        getattr(args, "gallery_file_path", None),
+    )
+    if any(briar_paths):
+        if not all(briar_paths):
+            raise SystemExit(
+                "--train_file_path/--queries_file_path/--gallery_file_path "
+                "must be given together (evaluate.py:77)"
+            )
+        if "BRIAR" not in args.targets:
+            raise SystemExit(
+                "manifest paths are consumed by the BRIAR target only — "
+                "add BRIAR to --targets (evaluate.py:130-136)"
+            )
     if getattr(args, "head_weighting", "mean") != "mean" and not args.multiple_output:
         raise SystemExit("--head_weighting applies only with --multiple_output")
     model_kw = {}
@@ -160,7 +186,19 @@ def main(args):
     results = {}
     sie_cameras = getattr(args, "sie_cameras", 0)
     for target in args.targets:
-        splits = load_dataset(target, root=args.data_root)
+        if target == "BRIAR":
+            if not all(briar_paths):
+                raise SystemExit(
+                    "--targets BRIAR requires --train_file_path, "
+                    "--queries_file_path and --gallery_file_path "
+                    "(evaluate.py:77-128)"
+                )
+            from daliid_tpu.data.briar import load_briar_manifests
+
+            b_train, b_query, b_gallery = load_briar_manifests(*briar_paths)
+            splits = {"train": b_train, "query": b_query, "gallery": b_gallery}
+        else:
+            splits = load_dataset(target, root=args.data_root)
         queries, gallery = splits["query"], splits["gallery"]
         if sie_cameras:
             # raw camids index the SIE table; an out-of-range id would

@@ -98,6 +98,60 @@ def test_fusion_cli(data_root):
             "magnitude_gap", "magnitude_gmp", "magnitude_both"} <= set(results)
 
 
+def test_evaluate_cli_briar_manifests(data_root, tmp_path):
+    """`--targets BRIAR` + the three manifest flags run the reference's
+    npy-ingest flow (evaluate.py:77-128,643-645) end to end: close-range
+    probes and probe-only identities are filtered by data/briar.py, the
+    BriarValidator ranks with count-all/ignore-camera CMC, and the guards
+    fail loudly on partial/misplaced manifest flags."""
+    from daliid_tpu.data.registry import parse_market_duke_dir
+
+    base = os.path.join(data_root, "Market-1501-v15.09.15")
+    g = parse_market_duke_dir(os.path.join(base, "bounding_box_test"))
+    q = parse_market_duke_dir(os.path.join(base, "query"))
+    t = parse_market_duke_dir(os.path.join(base, "bounding_box_train"))
+
+    def manifest(table, name, extra_rows=()):
+        rows = [[p, f"G{pid}", f"c{cam}", "200m"]
+                for p, pid, cam in zip(table.paths, table.pids, table.camids)]
+        rows.extend(extra_rows)
+        path = tmp_path / f"{name}.npy"
+        np.save(path, np.array(rows, dtype=object), allow_pickle=True)
+        return str(path)
+
+    # a close-range probe and a probe-only identity that must be filtered
+    extra = [[str(q.paths[0]), "G7777", "c1", "200m"],
+             [str(q.paths[0]), f"G{q.pids[0]}", "c1", "close_range"]]
+    paths = {
+        "train": manifest(t, "train"),
+        "q": manifest(q, "queries", extra_rows=extra),
+        "g": manifest(g, "gallery"),
+    }
+    argv = ["--targets", "BRIAR", "--model_name", "deit_small",
+            "--img_height", "32", "--img_width", "16", "--batch_size", "16",
+            "--compute_dtype", "float32",
+            "--train_file_path", paths["train"],
+            "--queries_file_path", paths["q"],
+            "--gallery_file_path", paths["g"]]
+    results = eval_cli.main(eval_cli.build_argparser().parse_args(argv))
+    cmc, mAP = results["BRIAR"]
+    assert 0.0 <= cmc[0] <= 1.0
+    assert mAP == 0.0  # BRIAR protocol reports mAP as 0 (validateModels.py:105)
+
+    p = eval_cli.build_argparser()
+    with pytest.raises(SystemExit, match="given together"):
+        eval_cli.main(p.parse_args(
+            ["--targets", "BRIAR", "--train_file_path", paths["train"]]))
+    with pytest.raises(SystemExit, match="BRIAR"):
+        eval_cli.main(p.parse_args(
+            ["--targets", "Market", "--data_root", data_root,
+             "--train_file_path", paths["train"],
+             "--queries_file_path", paths["q"],
+             "--gallery_file_path", paths["g"]]))
+    with pytest.raises(SystemExit, match="requires"):
+        eval_cli.main(p.parse_args(["--targets", "BRIAR"]))
+
+
 def test_evaluate_cli_rejects_sie_coef_without_sie(data_root):
     """A non-default --sie_coef with SIE disabled must fail loudly instead
     of being silently unused (review fix); same guard in the train CLI."""
