@@ -215,7 +215,13 @@ def main(args):
                     f"(1-based datasets need max+1 = {cam_max + 1})"
                 )
         validator = get_validator(
-            target, img_size=img_size, batch_size=args.batch_size,
+            # the npy-manifest eval ranks with the STANDARD protocol — the
+            # reference's calculate_metrics is plain evaluate_rank
+            # (evaluate.py:318-330); validateBRIAR's count-all argsort CMC
+            # (validateModels.py:84-105) is the *training-time* BRIAR
+            # validator, reached via cli/train's get_validator dispatch
+            "standard" if target == "BRIAR" else target,
+            img_size=img_size, batch_size=args.batch_size,
             rerank=getattr(args, "rerank", False),
             sharded=getattr(args, "sharded_eval", None),
         )

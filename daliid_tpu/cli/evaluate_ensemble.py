@@ -14,7 +14,7 @@ import argparse
 import jax.numpy as jnp
 
 from daliid_tpu.cli.evaluate import load_bundle
-from daliid_tpu.data.registry import load_dataset
+from daliid_tpu.data.briar import load_eval_splits
 from daliid_tpu.eval.features import FeatureExtractor
 from daliid_tpu.eval.fusion import average_distmats
 from daliid_tpu.eval.validate import get_validator
@@ -44,6 +44,11 @@ def build_argparser() -> argparse.ArgumentParser:
         help="int8 calibration spans the first N extract batches "
              "(running absmax)",
     )
+    # BRIAR npy-manifest ingest (--dataset BRIAR; the reference's ensemble
+    # CLI takes the same trio, evaluate_ensembled_models.py:77-128,644-646)
+    p.add_argument("--train_file_path", type=str, default=None)
+    p.add_argument("--queries_file_path", type=str, default=None)
+    p.add_argument("--gallery_file_path", type=str, default=None)
     add_multihost_flags(p)
     return p
 
@@ -54,9 +59,18 @@ def main(args):
     enable_compilation_cache()
     img_size = (args.img_height, args.img_width)
     dtype = getattr(jnp, args.compute_dtype)
-    splits = load_dataset(args.dataset, root=args.data_root)
+    splits = load_eval_splits(
+        args.dataset, root=args.data_root,
+        train_npy=getattr(args, "train_file_path", None),
+        queries_npy=getattr(args, "queries_file_path", None),
+        gallery_npy=getattr(args, "gallery_file_path", None),
+    )
     queries, gallery = splits["query"], splits["gallery"]
-    validator = get_validator(args.dataset, img_size=img_size, batch_size=args.batch_size)
+    # manifest eval ranks with the standard protocol (calculate_metrics,
+    # evaluate_ensembled_models.py:318-330), not the training-time
+    # validateBRIAR argsort CMC
+    validator = get_validator("standard" if args.dataset == "BRIAR" else args.dataset,
+                              img_size=img_size, batch_size=args.batch_size)
 
     results = {}
     distmats = []

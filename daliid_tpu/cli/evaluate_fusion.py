@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from daliid_tpu.cli.evaluate import load_bundle
-from daliid_tpu.data.registry import load_dataset
+from daliid_tpu.data.briar import load_eval_splits
 from daliid_tpu.eval.features import FeatureExtractor
 from daliid_tpu.eval.fusion import (
     average_distmats,
@@ -63,6 +63,11 @@ def build_argparser() -> argparse.ArgumentParser:
         help="int8 calibration spans the first N extract batches "
              "(running absmax)",
     )
+    # BRIAR npy-manifest ingest (--dataset BRIAR; the reference's fusion
+    # CLI takes the same trio, evaluateCleanATModels.py:60)
+    p.add_argument("--train_file_path", type=str, default=None)
+    p.add_argument("--queries_file_path", type=str, default=None)
+    p.add_argument("--gallery_file_path", type=str, default=None)
     add_multihost_flags(p)
     return p
 
@@ -83,7 +88,12 @@ def main(args):
     enable_compilation_cache()
     img_size = (args.img_height, args.img_width)
     dtype = getattr(jnp, args.compute_dtype)
-    splits = load_dataset(args.dataset, root=args.data_root)
+    splits = load_eval_splits(
+        args.dataset, root=args.data_root,
+        train_npy=getattr(args, "train_file_path", None),
+        queries_npy=getattr(args, "queries_file_path", None),
+        gallery_npy=getattr(args, "gallery_file_path", None),
+    )
     queries, gallery = splits["query"], splits["gallery"]
 
     clean = load_bundle(args.model_name, args.model_path_clean, img_size, dtype)

@@ -71,3 +71,41 @@ def load_briar_manifests(
 
     train_t = _to_table(train)  # train ids densely renumbered independently
     return train_t, table_with_shared_ids(queries), table_with_shared_ids(gallery)
+
+
+def load_eval_splits(
+    dataset: str,
+    root: str | None = None,
+    train_npy: str | None = None,
+    queries_npy: str | None = None,
+    gallery_npy: str | None = None,
+):
+    """Single-dataset ingest for the eval CLIs: a registered dataset name,
+    or ``"BRIAR"`` + the three manifest paths (the reference's ensemble and
+    fusion CLIs take the same trio, ``evaluate_ensembled_models.py:77-128``,
+    ``evaluateCleanATModels.py:60``; their BRIAR mode swaps ingest only —
+    ranking stays the standard protocol, ``calculate_metrics``
+    ``evaluate_ensembled_models.py:318-330``)."""
+    from daliid_tpu.data.registry import load_dataset
+
+    paths = (train_npy, queries_npy, gallery_npy)
+    if any(paths) and not all(paths):
+        raise SystemExit(
+            "--train_file_path/--queries_file_path/--gallery_file_path "
+            "must be given together (evaluate.py:77)"
+        )
+    if dataset == "BRIAR":
+        if not all(paths):
+            raise SystemExit(
+                "the BRIAR dataset requires --train_file_path, "
+                "--queries_file_path and --gallery_file_path "
+                "(evaluate.py:77-128)"
+            )
+        train, query, gallery = load_briar_manifests(*paths)
+        return {"train": train, "query": query, "gallery": gallery}
+    if any(paths):
+        raise SystemExit(
+            "manifest paths are consumed by the BRIAR dataset only "
+            "(evaluate.py:130-136)"
+        )
+    return load_dataset(dataset, root=root)

@@ -98,14 +98,13 @@ def test_fusion_cli(data_root):
             "magnitude_gap", "magnitude_gmp", "magnitude_both"} <= set(results)
 
 
-def test_evaluate_cli_briar_manifests(data_root, tmp_path):
-    """`--targets BRIAR` + the three manifest flags run the reference's
-    npy-ingest flow (evaluate.py:77-128,643-645) end to end: close-range
-    probes and probe-only identities are filtered by data/briar.py, the
-    BriarValidator ranks with count-all/ignore-camera CMC, and the guards
-    fail loudly on partial/misplaced manifest flags."""
+@pytest.fixture(scope="module")
+def briar_manifests(data_root, tmp_path_factory):
+    """npy manifests over the synthetic market images, with a close-range
+    probe and a probe-only identity that data/briar.py must filter."""
     from daliid_tpu.data.registry import parse_market_duke_dir
 
+    tmp = tmp_path_factory.mktemp("briar_manifests")
     base = os.path.join(data_root, "Market-1501-v15.09.15")
     g = parse_market_duke_dir(os.path.join(base, "bounding_box_test"))
     q = parse_market_duke_dir(os.path.join(base, "query"))
@@ -115,18 +114,24 @@ def test_evaluate_cli_briar_manifests(data_root, tmp_path):
         rows = [[p, f"G{pid}", f"c{cam}", "200m"]
                 for p, pid, cam in zip(table.paths, table.pids, table.camids)]
         rows.extend(extra_rows)
-        path = tmp_path / f"{name}.npy"
+        path = tmp / f"{name}.npy"
         np.save(path, np.array(rows, dtype=object), allow_pickle=True)
         return str(path)
 
-    # a close-range probe and a probe-only identity that must be filtered
     extra = [[str(q.paths[0]), "G7777", "c1", "200m"],
              [str(q.paths[0]), f"G{q.pids[0]}", "c1", "close_range"]]
-    paths = {
+    return {
         "train": manifest(t, "train"),
         "q": manifest(q, "queries", extra_rows=extra),
         "g": manifest(g, "gallery"),
     }
+
+
+def test_evaluate_cli_briar_manifests(data_root, briar_manifests):
+    """`--targets BRIAR` + the three manifest flags run the reference's
+    npy-ingest flow (evaluate.py:77-128,643-645) end to end, and the
+    guards fail loudly on partial/misplaced manifest flags."""
+    paths = briar_manifests
     argv = ["--targets", "BRIAR", "--model_name", "deit_small",
             "--img_height", "32", "--img_width", "16", "--batch_size", "16",
             "--compute_dtype", "float32",
@@ -136,7 +141,10 @@ def test_evaluate_cli_briar_manifests(data_root, tmp_path):
     results = eval_cli.main(eval_cli.build_argparser().parse_args(argv))
     cmc, mAP = results["BRIAR"]
     assert 0.0 <= cmc[0] <= 1.0
-    assert mAP == 0.0  # BRIAR protocol reports mAP as 0 (validateModels.py:105)
+    # the manifest eval ranks with the STANDARD protocol (the reference's
+    # calculate_metrics is plain evaluate_rank, evaluate.py:318-330), so a
+    # real mAP is reported — NOT validateBRIAR's mAP-as-0 (training-time)
+    assert 0.0 < mAP <= 1.0
 
     p = eval_cli.build_argparser()
     with pytest.raises(SystemExit, match="given together"):
@@ -150,6 +158,40 @@ def test_evaluate_cli_briar_manifests(data_root, tmp_path):
              "--gallery_file_path", paths["g"]]))
     with pytest.raises(SystemExit, match="requires"):
         eval_cli.main(p.parse_args(["--targets", "BRIAR"]))
+
+
+def test_ensemble_and_fusion_cli_briar_manifests(briar_manifests):
+    """The reference's ensemble and fusion CLIs take the same manifest trio
+    (evaluate_ensembled_models.py:77-128, evaluateCleanATModels.py:60);
+    their BRIAR mode swaps ingest only — ranking stays the standard
+    protocol (calculate_metrics)."""
+    paths = briar_manifests
+    trio = ["--train_file_path", paths["train"],
+            "--queries_file_path", paths["q"],
+            "--gallery_file_path", paths["g"]]
+    shape = ["--img_height", "32", "--img_width", "16", "--batch_size", "16",
+             "--compute_dtype", "float32"]
+
+    argv = (["--dataset", "BRIAR", "--model_name01", "deit_small",
+             "--model_name02", "deit_small"] + shape + trio)
+    results = ens_cli.main(ens_cli.build_argparser().parse_args(argv))
+    assert {"model01", "model02", "ensemble"} <= set(results)
+    assert 0.0 < results["ensemble"]["mAP"] <= 1.0
+
+    argv = (["--dataset", "BRIAR", "--model_name", "resnet50"] + shape + trio)
+    results = fus_cli.main(fus_cli.build_argparser().parse_args(argv))
+    assert {"concat", "average", "magnitude_gap"} <= set(results)
+    assert 0.0 < results["concat"]["mAP"] <= 1.0
+
+    from daliid_tpu.data.briar import load_eval_splits
+
+    with pytest.raises(SystemExit, match="given together"):
+        load_eval_splits("BRIAR", train_npy=paths["train"])
+    with pytest.raises(SystemExit, match="requires"):
+        load_eval_splits("BRIAR")
+    with pytest.raises(SystemExit, match="BRIAR dataset only"):
+        load_eval_splits("Market", train_npy=paths["train"],
+                         queries_npy=paths["q"], gallery_npy=paths["g"])
 
 
 def test_evaluate_cli_rejects_sie_coef_without_sie(data_root):
