@@ -40,6 +40,21 @@ def _to_table(rows: np.ndarray, kind: str = "person") -> ReidTable:
     )
 
 
+def _shared_dense_map(*label_columns: np.ndarray) -> dict:
+    """One dense int mapping over the union of label columns.
+
+    The reference passes raw id/camid STRINGS straight into
+    ``torchreid.metrics.evaluate_rank`` (``evaluate.py:305-320``), so string
+    equality across the query/gallery splits is what defines a same-id or
+    same-camera pair.  Any dense renumbering must therefore be computed over
+    the union of both splits — per-split ``np.unique`` would let identical
+    indices denote different physical cameras whenever the splits' label
+    sets differ (the normal BRIAR case: field probes vs controlled
+    enrollment sensors)."""
+    uniq = np.unique(np.concatenate([np.asarray(c, object) for c in label_columns]))
+    return {v: i for i, v in enumerate(uniq)}
+
+
 def load_briar_manifests(
     train_npy: str, queries_npy: str, gallery_npy: str
 ) -> Tuple[ReidTable, ReidTable, ReidTable]:
@@ -60,13 +75,16 @@ def load_briar_manifests(
     keep = ~np.isin(queries[:, 1], probe_only)
     queries = queries[keep]
 
-    # the query/gallery id spaces must share one dense mapping
-    qg_ids = np.unique(np.concatenate([queries[:, 1], gallery[:, 1]]))
-    id_map = {v: i for i, v in enumerate(qg_ids)}
+    # the query/gallery id AND camid spaces must each share one dense mapping
+    # across both splits (the reference compares raw strings across splits,
+    # evaluate.py:305-320)
+    id_map = _shared_dense_map(queries[:, 1], gallery[:, 1])
+    cam_map = _shared_dense_map(queries[:, 2], gallery[:, 2])
 
     def table_with_shared_ids(rows):
         t = _to_table(rows)
         t.pids = np.array([id_map[i] for i in rows[:, 1]], np.int64)
+        t.camids = np.array([cam_map[c] for c in rows[:, 2]], np.int64)
         return t
 
     train_t = _to_table(train)  # train ids densely renumbered independently

@@ -103,3 +103,35 @@ def test_briar_ingest(tmp_path):
     assert len(g) == 2 and len(t) == 2
     # query pid must match its gallery counterpart under the shared mapping
     assert q.pids[0] == g.pids[0]
+    # camids must share ONE dense space across splits: the fixture's camera
+    # sets are disjoint (query c1 vs gallery c3), and the reference compares
+    # raw camid strings across splits (evaluate.py:305-320) — so the probe's
+    # camid must NOT collide with the gallery's.  A per-split np.unique gives
+    # both sides index 0 here, wrongly junk-filtering the true match.
+    assert q.camids[0] != g.camids[0]
+    assert g.camids[0] == g.camids[1]  # both gallery rows are camera c3
+
+
+def test_briar_disjoint_cameras_rank(tmp_path):
+    """Judge repro: probe at camera c1 whose ONLY true match sits at gallery
+    camera c3 must score rank-1, not be junk-filtered (reference semantics:
+    raw camid strings into evaluate_rank, evaluate.py:305-320)."""
+    from daliid_tpu.metrics.ranking import evaluate_rank
+
+    train = np.array([["/a/1.jpg", "Gp1", "c1", "200m"]], dtype=object)
+    queries = np.array([["/q/1.jpg", "Gp1", "c1", "200m"]], dtype=object)
+    gallery = np.array(
+        [["/g/1.jpg", "Gp1", "c3", "200m"], ["/g/2.jpg", "Gp2", "c3", "200m"]],
+        dtype=object,
+    )
+    paths = {}
+    for name, arr in (("train", train), ("q", queries), ("g", gallery)):
+        p = tmp_path / f"{name}.npy"
+        np.save(p, arr, allow_pickle=True)
+        paths[name] = str(p)
+    _, q, g = load_briar_manifests(paths["train"], paths["q"], paths["g"])
+
+    distmat = np.array([[0.1, 0.9]], np.float32)  # true match is nearest
+    cmc, mAP = evaluate_rank(distmat, q.pids, g.pids, q.camids, g.camids)
+    assert cmc[0] == pytest.approx(1.0)
+    assert mAP == pytest.approx(1.0)
