@@ -71,6 +71,18 @@ def build_argparser() -> argparse.ArgumentParser:
              "weights' first mining batches",
     )
     p.add_argument("--mining_calib_batches", type=int, default=1)
+    p.add_argument(
+        "--grad_accum", type=int, default=1,
+        help="microbatches per optimizer step: the P*K batch is split into N "
+             "contiguous chunks whose grads are averaged before ONE Adam "
+             "update + ONE EMA lerp (BN stats thread sequentially). Memory "
+             "knob: saved activations scale with batch/N, so batches whose "
+             "activations exceed HBM avoid XLA's auto-remat recompute "
+             "(BENCH.md §transformer-train). N must divide the device batch "
+             "(P*K padded to a mesh multiple) and keep microbatches even "
+             "for paired AT batches. NOTE: BN-neck batch stats are computed "
+             "per-microbatch (torch grad-accum semantics)",
+    )
     p.add_argument("--resume", action="store_true")
     p.add_argument("--skip_initial_eval", action="store_true")
     p.add_argument(
@@ -159,6 +171,7 @@ def config_from_args(args) -> TrainConfig:
         extractor_batch=args.extractor_batch,
         mining_quantize=args.mining_quantize,
         mining_calib_batches=args.mining_calib_batches,
+        grad_accum=args.grad_accum,
         num_classes=args.num_classes,
         id_loss_type=args.id_loss_type,
         margin_s=args.cosine_scale,
@@ -290,6 +303,7 @@ def main(cfg: TrainConfig, resume: bool = False, skip_initial_eval: bool = False
         decode_workers=cfg.decode_workers,
         mining_quantize=cfg.mining_quantize,
         mining_calib_batches=cfg.mining_calib_batches,
+        grad_accum=cfg.grad_accum,
     )
 
     os.makedirs(cfg.metrics_dir, exist_ok=True)

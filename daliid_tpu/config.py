@@ -79,6 +79,10 @@ class TrainConfig:
     # VERDICT r3 item 8) — eval extraction stays full-precision
     mining_quantize: str | None = None
     mining_calib_batches: int = 1
+    grad_accum: int = 1                   # microbatches per optimizer step
+                                          # (grads averaged, one Adam + EMA);
+                                          # memory knob for >HBM batches —
+                                          # see Trainer(grad_accum=...)
 
     @property
     def img_size(self) -> Tuple[int, int]:

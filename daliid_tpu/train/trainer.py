@@ -151,6 +151,17 @@ class Trainer:
                                              # (train_encodersKIT.py:110);
                                              # eval extraction stays fp
         mining_calib_batches: int = 1,
+        grad_accum: int = 1,  # microbatches per optimizer step: the batch is
+                              # split into N contiguous chunks whose grads are
+                              # averaged before ONE Adam update + ONE EMA
+                              # lerp. Memory knob: saved activations scale
+                              # with the microbatch, so >HBM batches avoid
+                              # XLA's auto-remat recompute. Standard
+                              # grad-accumulation semantics: each chunk's
+                              # distortion-weighted losses normalize over the
+                              # chunk (exactly the full-batch step when the
+                              # per-sample weights are uniform); BN batch
+                              # stats thread sequentially through the chunks.
     ):
         self.module = bundle_online.module
         import inspect as _inspect
@@ -200,6 +211,9 @@ class Trainer:
             ),
             replicated,
         )
+        if grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+        self.grad_accum = int(grad_accum)
         self._batch_shard = batch_sharding(self.mesh)
         self._replicated = replicated
         # shared extractor: reused across epochs for proxy mining + validation
@@ -245,6 +259,7 @@ class Trainer:
         # top_k than the 64 default at num_proxies=5)
         num_proxies = self.num_proxies
         optimizer = self.optimizer
+        grad_accum = self.grad_accum
         dtype = self.compute_dtype
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)
@@ -336,12 +351,13 @@ class Trainer:
         ):
             _, droppath_key = jax.random.split(key)
 
-            def loss_fn(params):
+            def loss_fn(params, batch_stats, images, labels, distortions,
+                        mask, camids, droppath_key):
                 extra = {"camera_ids": camids} if takes_camera_ids else {}
                 if takes_labels:
                     extra["labels"] = labels
                 out, updates = module.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
+                    {"params": params, "batch_stats": batch_stats},
                     images,
                     train=True,
                     mutable=["batch_stats"],
@@ -420,9 +436,64 @@ class Trainer:
                     total = total + lambda_distortion * dist_loss
                 return total, (updates["batch_stats"], center_loss, proxy_loss, aux)
 
-            (total, (new_stats, center_loss, proxy_loss, aux)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            if grad_accum == 1:
+                (total, (new_stats, center_loss, proxy_loss, aux)), grads = grad_fn(
+                    state.params, state.batch_stats, images, labels,
+                    distortions, mask, camids, droppath_key,
+                )
+            else:
+                # microbatched forward+backward: each chunk's backward
+                # completes before the next forward, so saved activations
+                # scale with B/grad_accum instead of B (the transformer-train
+                # auto-remat lever, BENCH.md §transformer-train). One Adam
+                # update + one EMA lerp on the averaged grads; BN stats
+                # thread sequentially (torch grad-accumulation semantics).
+                n = grad_accum
+                batch = images.shape[0]
+                if batch % n:
+                    raise ValueError(
+                        f"grad_accum={n} must divide the batch size {batch}"
+                    )
+                mb = batch // n
+                if paired and mb % 2:
+                    raise ValueError(
+                        f"paired AT batches need even microbatches; "
+                        f"batch {batch} / grad_accum {n} = {mb}"
+                    )
+                split = lambda a: a.reshape((n, mb) + a.shape[1:])
+                xs = (
+                    split(images), split(labels), split(distortions),
+                    split(mask), split(camids), jax.random.split(droppath_key, n),
+                )
+                first = tuple(x[0] for x in xs)
+                out_sd = jax.eval_shape(
+                    loss_fn, state.params, state.batch_stats, *first
+                )
+                # (total, center_loss, proxy_loss, aux) accumulate in f32
+                m_sd = (out_sd[0], out_sd[1][1], out_sd[1][2], out_sd[1][3])
+                zero_m = jax.tree.map(lambda s: jnp.zeros(s.shape, jnp.float32), m_sd)
+                zero_g = jax.tree.map(jnp.zeros_like, state.params)
+
+                def body(carry, x):
+                    stats, g_sum, m_sum = carry
+                    (tot, (stats, c_l, p_l, aux)), g = grad_fn(
+                        state.params, stats, *x
+                    )
+                    g_sum = jax.tree.map(jnp.add, g_sum, g)
+                    m_sum = jax.tree.map(
+                        lambda a, b: a + b.astype(jnp.float32),
+                        m_sum, (tot, c_l, p_l, aux),
+                    )
+                    return (stats, g_sum, m_sum), None
+
+                (new_stats, g_sum, m_sum), _ = jax.lax.scan(
+                    body, (state.batch_stats, zero_g, zero_m), xs
+                )
+                grads = jax.tree.map(lambda g: g / n, g_sum)
+                total, center_loss, proxy_loss, aux = jax.tree.map(
+                    lambda m: m / n, m_sum
+                )
             updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
 

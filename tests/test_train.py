@@ -347,3 +347,115 @@ def test_trainer_lr_applied(synth):
     assert lr1 == pytest.approx(1e-3)
     assert lr150 == pytest.approx(1e-4)
     assert lr249 == pytest.approx(1e-5)
+
+
+def _fresh_trainer(synth, *, grad_accum, kind_of_transform=0, seed=12, K=4, P=3):
+    splits, turb = synth
+    t = splits["train"]
+    online, momentum = _tiny_pair()
+    sampler = PKBatchSampler(
+        t, t.pids, P=P, K=K, kind_of_transform=kind_of_transform,
+        turbulence_dir=turb if kind_of_transform == 1 else None, seed=0,
+    )
+    return Trainer(
+        online, momentum, sampler, img_size=IMG, num_epochs=4, base_lr=1e-3,
+        compute_dtype=jnp.float32, extractor_batch=16, seed=seed,
+        grad_accum=grad_accum,
+    )
+
+
+def _ln_pair():
+    """BN-free tiny model: grad-accum equivalence is only exact without
+    BatchNorm (BN train-mode stats are per-microbatch — torch semantics)."""
+    import flax.linen as nn
+
+    class TinyLN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = jnp.mean(x, axis=(1, 2))
+            h = nn.Dense(16, name="proj")(h)
+            return nn.LayerNorm(name="ln")(h)
+
+    m = TinyLN()
+    v = m.init({"params": jax.random.key(0)}, jnp.zeros((1, *IMG, 3)), train=False)
+    online = ModelBundle(module=m, variables=v, feature_dim=16, name="tinyln")
+    momentum = ModelBundle(module=m, variables=jax.tree.map(jnp.copy, v),
+                           feature_dim=16, name="tinyln")
+    return online, momentum
+
+
+def test_grad_accum_matches_full_batch(synth):
+    """grad_accum=N reproduces the full-batch GRADIENT (modulo f32
+    reassociation) when the per-sample loss weights are uniform — clean
+    batches (all distortion 0), no padding (K=4 = imgs/id) — and the model
+    is BN-free (every zoo model carries a BN neck whose train-mode stats
+    are computed per-microbatch, the standard torch grad-accum semantics;
+    a BN run diverges by design — see test_grad_accum_bn_microbatch_stats).
+
+    Asserted on the pre-update loss and on the Adam moments (mu linear in
+    g, nu quadratic) rather than on post-step params: the first Adam
+    update is ~lr*sign(g), so reassociation noise on near-zero grads flips
+    update signs — the same cross-run chaos the composed-pipeline oracle
+    documents. P=6 puts the whole epoch in ONE batch so both steps see
+    identical incoming params."""
+    splits, _ = synth
+    t = splits["train"]
+    sampler = lambda: PKBatchSampler(t, t.pids, P=6, K=4, kind_of_transform=0, seed=0)
+
+    def mk(ga):
+        on, mo = _ln_pair()
+        return Trainer(on, mo, sampler(), img_size=IMG, num_epochs=4,
+                       base_lr=1e-3, compute_dtype=jnp.float32,
+                       extractor_batch=16, seed=12, grad_accum=ga)
+
+    tr1, tr2 = mk(1), mk(3)
+    m1 = tr1.train_epoch(1)
+    m2 = tr2.train_epoch(1)
+    assert m2["loss"] == pytest.approx(m1["loss"], rel=1e-5)
+    assert m2["center_loss"] == pytest.approx(m1["center_loss"], rel=1e-5)
+    assert m2["proxy_loss"] == pytest.approx(m1["proxy_loss"], rel=1e-5)
+    o1 = jax.device_get(tr1.state.opt_state)
+    o2 = jax.device_get(tr2.state.opt_state)
+    leaves1, leaves2 = jax.tree.leaves(o1), jax.tree.leaves(o2)
+    assert len(leaves1) == len(leaves2) and len(leaves1) > 0
+    for a, b in zip(leaves1, leaves2):
+        if np.asarray(a).dtype.kind == "f":
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-7)
+
+
+def test_grad_accum_bn_microbatch_stats(synth):
+    """BN-neck models microbatch with per-chunk batch stats threading
+    sequentially through the scan (torch grad-accum semantics): the run is
+    finite and the running stats MOVE (the scan carry is threaded out)."""
+    tr = _fresh_trainer(synth, grad_accum=2)  # ViTReID: has a BN neck
+    s_before = jax.device_get(tr.state.batch_stats)
+    metrics = tr.train_epoch(1)
+    assert np.isfinite(metrics["loss"])
+    s_after = jax.device_get(tr.state.batch_stats)
+    assert any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(s_before), jax.tree.leaves(s_after))
+    )
+
+
+def test_grad_accum_paired_at_batches(synth):
+    """Paired AT batches microbatch cleanly when chunks stay even (pairs are
+    adjacent [clean, distorted] slots and must not split across chunks)."""
+    tr = _fresh_trainer(synth, grad_accum=2, kind_of_transform=1, K=2)
+    metrics = tr.train_epoch(1)
+    assert np.isfinite(metrics["loss"])
+
+
+def test_grad_accum_validation(synth):
+    with pytest.raises(ValueError, match="grad_accum"):
+        _fresh_trainer(synth, grad_accum=0)
+    # batch 12 (P=3, K=4) pads to 16 on the 8-device mesh: 5 does not
+    # divide it -> trace-time error
+    tr = _fresh_trainer(synth, grad_accum=5)
+    with pytest.raises(ValueError, match="divide the batch"):
+        tr.train_epoch(1)
+    # paired batch 20 (P=5, K=2, x2) pads to 24; n=8 -> odd microbatch of
+    # 3 would split a [clean, distorted] pair across chunks
+    tr = _fresh_trainer(synth, grad_accum=8, kind_of_transform=1, K=2, P=5)
+    with pytest.raises(ValueError, match="even microbatches"):
+        tr.train_epoch(1)

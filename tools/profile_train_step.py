@@ -44,6 +44,11 @@ def main():
                          "custom VJP recomputes the (N, N) probs in-kernel, "
                          "removing them from saved activations (less XLA "
                          "auto-remat at big batches)")
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="microbatches per optimizer step (grads averaged, "
+                         "one Adam+EMA): saved activations scale with "
+                         "batch/N, so >HBM batches skip XLA's auto-remat "
+                         "recompute — the VERDICT r4 transformer-train lever")
     args = ap.parse_args()
 
     from daliid_tpu.utils.cache import enable_compilation_cache
@@ -94,7 +99,8 @@ def main():
     sampler = PKBatchSampler(train, train.pids, P=2, K=2, kind_of_transform=1,
                              turbulence_dir=turb, seed=0)
     trainer = Trainer(online, momentum, sampler, img_size=IMG, num_epochs=250,
-                      compute_dtype=jnp.bfloat16, extractor_batch=256, decode_workers=8)
+                      compute_dtype=jnp.bfloat16, extractor_batch=256, decode_workers=8,
+                      grad_accum=args.grad_accum)
 
     rng = np.random.default_rng(0)
     D = online.feature_dim
