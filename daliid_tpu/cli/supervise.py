@@ -49,6 +49,13 @@ import sys
 import time
 
 
+# a gang failure this soon after launch is classified as a coordinator
+# bootstrap failure (the _free_port TOCTOU) and retried on a fresh port
+# without burning the restart budget — bounded by _MAX_BOOTSTRAP_RETRIES
+_BOOTSTRAP_WINDOW_SECONDS = 15.0
+_MAX_BOOTSTRAP_RETRIES = 3
+
+
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="DaliID-TPU training supervisor (auto crash-resume)",
@@ -70,12 +77,21 @@ def build_argparser() -> argparse.ArgumentParser:
         help="gang-schedule N coordinated ranks over jax.distributed "
              "(localhost coordinator; --process_id injected per rank). Any "
              "rank failure tears down the whole gang and relaunches all "
-             "ranks with --resume. 0 = single-process (default)",
+             "ranks with --resume. N=1 runs a 1-rank gang (jax.distributed "
+             "bootstrap included); 0 = plain single-process (default)",
     )
     p.add_argument(
         "--teardown_grace_seconds", type=float, default=10.0,
         help="multihost: how long to let surviving ranks exit on their own "
              "after a rank failure before SIGTERM (then SIGKILL after 5 s)",
+    )
+    p.add_argument(
+        "--straggler_timeout", type=float, default=600.0,
+        help="multihost liveness watchdog: once ANY rank has exited "
+             "(success or failure), the remaining ranks must finish within "
+             "this many seconds or the gang is treated as hung (e.g. a "
+             "survivor deadlocked in a collective with no dead rank to trip "
+             "the failure check) and torn down. 0 disables",
     )
     p.add_argument(
         "train_args", nargs=argparse.REMAINDER,
@@ -92,12 +108,37 @@ def _free_port() -> int:
     return port
 
 
-def _run_gang(train_argv, num_processes: int, grace_seconds: float) -> int:
+def _teardown(procs, grace_seconds: float) -> None:
+    """Let ranks exit on their own for the grace window, then SIGTERM, then
+    SIGKILL 5 s later; reaps everything before returning."""
+    deadline = time.time() + grace_seconds
+    while time.time() < deadline and any(p.poll() is None for p in procs):
+        time.sleep(0.2)
+    for p in procs:
+        if p.poll() is None:
+            p.terminate()
+    deadline = time.time() + 5.0
+    while time.time() < deadline and any(p.poll() is None for p in procs):
+        time.sleep(0.2)
+    for p in procs:
+        if p.poll() is None:
+            p.kill()
+    for p in procs:
+        p.wait()
+
+
+def _run_gang(train_argv, num_processes: int, grace_seconds: float,
+              straggler_timeout: float = 0.0) -> int:
     """One attempt of an N-rank jax.distributed gang. Returns 0 only when
     every rank exits 0; on any rank failure the survivors (typically blocked
     in a collective on the dead rank) are torn down — SIGTERM after the
     grace window, SIGKILL 5 s later — and the first failing rank's code is
-    returned. A fresh coordinator port per attempt avoids TIME_WAIT reuse."""
+    returned. A fresh coordinator port per attempt avoids TIME_WAIT reuse.
+
+    Liveness watchdog (``straggler_timeout`` > 0): once any rank has exited
+    — including rc=0, the no-dead-rank deadlock case where a survivor blocks
+    in a collective forever — the rest must finish within the timeout or the
+    gang is torn down and reported failed (rc 1)."""
     coord = f"127.0.0.1:{_free_port()}"
     procs = []
     for rank in range(num_processes):
@@ -109,6 +150,7 @@ def _run_gang(train_argv, num_processes: int, grace_seconds: float) -> int:
         procs.append(subprocess.Popen(cmd))
     print(f"[supervise] gang of {num_processes} ranks launched (coordinator {coord})",
           flush=True)
+    first_exit_at: float | None = None
     while True:
         codes = [p.poll() for p in procs]
         if all(c == 0 for c in codes):
@@ -122,21 +164,21 @@ def _run_gang(train_argv, num_processes: int, grace_seconds: float) -> int:
                 + (f" — tearing down surviving rank(s) {alive}" if alive else ""),
                 flush=True,
             )
-            deadline = time.time() + grace_seconds
-            while time.time() < deadline and any(p.poll() is None for p in procs):
-                time.sleep(0.2)
-            for p in procs:
-                if p.poll() is None:
-                    p.terminate()
-            deadline = time.time() + 5.0
-            while time.time() < deadline and any(p.poll() is None for p in procs):
-                time.sleep(0.2)
-            for p in procs:
-                if p.poll() is None:
-                    p.kill()
-            for p in procs:
-                p.wait()
+            _teardown(procs, grace_seconds)
             return rc
+        if any(c is not None for c in codes):
+            if first_exit_at is None:
+                first_exit_at = time.time()
+            elif straggler_timeout > 0 and time.time() - first_exit_at > straggler_timeout:
+                alive = [i for i, c in enumerate(codes) if c is None]
+                print(
+                    f"[supervise] rank(s) {alive} still running "
+                    f"{straggler_timeout:.0f}s after the first rank finished — "
+                    f"treating the gang as hung and tearing it down",
+                    flush=True,
+                )
+                _teardown(procs, grace_seconds)
+                return 1
         time.sleep(0.5)
 
 
@@ -169,7 +211,9 @@ def main(args) -> int:
         raise SystemExit(
             "supervise requires the crash-resume channel: do not pass --ckpt_freq 0"
         )
-    if args.multihost >= 2 and (
+    if args.multihost < 0:
+        raise SystemExit(f"--multihost must be >= 0, got {args.multihost}")
+    if args.multihost >= 1 and (
         targs.multihost or targs.coordinator_address is not None
         or targs.num_processes is not None or targs.process_id is not None
     ):
@@ -181,6 +225,7 @@ def main(args) -> int:
     save_dir = targs.path_to_save_models
 
     failures_without_progress = 0
+    bootstrap_retries = 0
     attempt = 0
     while True:
         attempt += 1
@@ -188,13 +233,15 @@ def main(args) -> int:
         if attempt > 1 and "--resume" not in argv:
             argv.append("--resume")
         step_before = _latest_step(save_dir)
-        if args.multihost >= 2:
+        t_attempt = time.time()
+        if args.multihost >= 1:
             print(
                 f"[supervise] attempt {attempt}: {args.multihost}-rank gang of "
                 f"daliid_tpu.cli.train {' '.join(argv)}",
                 flush=True,
             )
-            rc = _run_gang(argv, args.multihost, args.teardown_grace_seconds)
+            rc = _run_gang(argv, args.multihost, args.teardown_grace_seconds,
+                           args.straggler_timeout)
         else:
             cmd = [sys.executable, "-m", "daliid_tpu.cli.train", *argv]
             print(f"[supervise] attempt {attempt}: {' '.join(cmd)}", flush=True)
@@ -205,6 +252,25 @@ def main(args) -> int:
         step_after = _latest_step(save_dir)
         if step_after > step_before:
             failures_without_progress = 0  # the run moved forward: budget resets
+        elif (
+            args.multihost >= 1
+            and time.time() - t_attempt < _BOOTSTRAP_WINDOW_SECONDS
+            and bootstrap_retries < _MAX_BOOTSTRAP_RETRIES
+        ):
+            # a gang that dies within seconds of launch most likely lost the
+            # _free_port() TOCTOU race (another process claimed the probed
+            # port before rank 0's coordinator bind): retry on a fresh port
+            # WITHOUT burning the restart budget. Bounded, so a
+            # deterministically-instant crash (bad flags) still gives up.
+            bootstrap_retries += 1
+            print(
+                f"[supervise] gang died {time.time() - t_attempt:.1f}s after "
+                f"launch (rc={rc}) — treating as a coordinator-bootstrap "
+                f"failure; free retry {bootstrap_retries}/{_MAX_BOOTSTRAP_RETRIES} "
+                f"on a fresh port",
+                flush=True,
+            )
+            continue
         else:
             failures_without_progress += 1
         print(

@@ -2,6 +2,8 @@
 
 import argparse
 import os
+import sys
+import time
 
 import numpy as np
 import pytest
@@ -350,6 +352,90 @@ def test_supervise_cli_gives_up_without_progress(tmp_path, capfd, monkeypatch):
     out = cap.out + cap.err
     assert "[supervise] attempt 2" in out
     assert "[supervise] attempt 3" not in out
+
+
+def test_supervise_gang_straggler_watchdog(capfd):
+    """Liveness watchdog (ADVICE r4): when one rank exits 0 but another
+    hangs (e.g. deadlocked in a collective with no dead rank to trip the
+    failure check), the gang is torn down after --straggler_timeout and
+    reported failed instead of polling forever."""
+    import subprocess as sp
+
+    from daliid_tpu.cli import supervise as sup_cli
+
+    real_popen = sp.Popen
+
+    def fake_popen(cmd, **kw):
+        rank = int(cmd[cmd.index("--process_id") + 1])
+        body = "import sys; sys.exit(0)" if rank == 0 else "import time; time.sleep(120)"
+        return real_popen([sys.executable, "-c", body])
+
+    orig = sup_cli.subprocess.Popen
+    sup_cli.subprocess.Popen = fake_popen
+    try:
+        t0 = time.time()
+        rc = sup_cli._run_gang([], 2, grace_seconds=0.5, straggler_timeout=2.0)
+    finally:
+        sup_cli.subprocess.Popen = orig
+    assert rc == 1
+    assert time.time() - t0 < 30
+    out = capfd.readouterr().out
+    assert "treating the gang as hung" in out
+
+
+def test_supervise_multihost_one_runs_gang_and_guards_conflicts(tmp_path):
+    """--multihost 1 is a real 1-rank gang (ADVICE r4): the rank-bootstrap
+    conflict guard applies to it rather than silently falling through to
+    the single-process path."""
+    from daliid_tpu.cli import supervise as sup_cli
+
+    argv = [
+        "--multihost", "1", "--",
+        "--dataset", "Market", "--data_root", str(tmp_path),
+        "--path_to_save_models", str(tmp_path / "ckpt"),
+        "--process_id", "0",
+    ]
+    with pytest.raises(SystemExit, match="owns the rank bootstrap"):
+        sup_cli.main(sup_cli.build_argparser().parse_args(argv))
+
+
+def test_supervise_bootstrap_failures_not_budgeted(tmp_path, capfd, monkeypatch):
+    """A gang that dies within seconds of launch is classified as a
+    coordinator-bootstrap failure (the _free_port TOCTOU, ADVICE r4) and
+    retried on a fresh port without burning the restart budget — but the
+    free retries are bounded, so a deterministic instant crash still gives
+    up: with max_restarts=0 we see exactly 3 free retries + 1 budgeted
+    failure = 4 attempts."""
+    import subprocess as sp
+
+    from daliid_tpu.cli import supervise as sup_cli
+
+    real_popen = sp.Popen
+
+    def fake_popen(cmd, **kw):
+        return real_popen([sys.executable, "-c", "import sys; sys.exit(7)"])
+
+    orig = sup_cli.subprocess.Popen
+    sup_cli.subprocess.Popen = fake_popen
+    # the classifier window is wall-clock; widen it so a loaded CI host's
+    # slow process spawns can't push an instant crash past it
+    monkeypatch.setattr(sup_cli, "_BOOTSTRAP_WINDOW_SECONDS", 120.0)
+    argv = [
+        "--multihost", "2", "--max_restarts", "0", "--backoff_seconds", "0",
+        "--teardown_grace_seconds", "0.5", "--",
+        "--dataset", "Market", "--data_root", str(tmp_path / "nowhere"),
+        "--path_to_save_models", str(tmp_path / "ckpt"),
+        "--path_to_save_metrics", str(tmp_path / "metrics"),
+    ]
+    try:
+        rc = sup_cli.main(sup_cli.build_argparser().parse_args(argv))
+    finally:
+        sup_cli.subprocess.Popen = orig
+    assert rc == 7
+    out = capfd.readouterr().out
+    assert "free retry 3/3" in out
+    assert "[supervise] attempt 4" in out
+    assert "[supervise] attempt 5" not in out
 
 
 def test_search_cli_end_to_end(data_root, tmp_path, capsys):
