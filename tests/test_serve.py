@@ -351,3 +351,71 @@ def test_serve_search_microbatching(rng):
     assert stats["search_dispatches"] == calls["n"]
     assert stats["errors"] == 1
     assert stats["requests"] == N + 2  # +1 bad search, +1 this stats call
+
+
+def test_serve_rerank_inside_microbatched_group(rng):
+    """VERDICT r4 item 8: the round-4 additions compose — rerank=true rides
+    a contention-formed micro-batch over an SQ8, pid-less index, and every
+    response is IDENTICAL to the same request dispatched alone (reranked
+    results depend on shortlist depth, so the group key must isolate them;
+    a response must not change with whatever else was in flight)."""
+    import time
+
+    from daliid_tpu.cli.serve import IdentificationService
+    from daliid_tpu.eval.matcher import GalleryIndex
+
+    d = 32
+    # identity-margin gallery so SQ8 keeps retrieval decisions exact
+    g = np.eye(d, dtype=np.float32)[:24] + 0.01 * rng.normal(size=(24, d)).astype(np.float32)
+    index = GalleryIndex(g, gallery_pids=None, quantize="int8")
+    svc = IdentificationService(None, index, topk=4)
+
+    reqs = [
+        {"op": "search", "embeddings": [g[1].tolist()], "topk": 4,
+         "rerank": True, "rerank_depth": 8},
+        {"op": "search", "embeddings": [g[2].tolist()], "topk": 4,
+         "rerank": True, "rerank_depth": 8},   # same group as #0
+        {"op": "search", "embeddings": [g[3].tolist()], "topk": 4,
+         "rerank": True, "rerank_depth": 16},  # different depth -> own group
+        {"op": "search", "embeddings": [g[4].tolist()], "topk": 3},  # plain
+    ]
+    # solo baselines: each request on an idle service (no contention)
+    solo = [IdentificationService(None, index, topk=4).handle(dict(r)) for r in reqs]
+
+    orig_search = index.search
+
+    def slow_search(*a, **kw):
+        time.sleep(0.15)  # hold the device so the queue forms behind us
+        return orig_search(*a, **kw)
+
+    index.search = slow_search
+    try:
+        results = [None] * len(reqs)
+
+        def client(i):
+            results[i] = svc.handle(dict(reqs[i]))
+
+        leader = threading.Thread(
+            target=lambda: svc.handle(
+                {"op": "search", "embeddings": [g[0].tolist()], "topk": 1}
+            )
+        )
+        leader.start()
+        time.sleep(0.05)  # leader now holds the device; the rest queue up
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        for t in threads + [leader]:
+            t.join(timeout=120)
+    finally:
+        index.search = orig_search
+
+    for i, (got, want) in enumerate(zip(results, solo)):
+        assert got is not None and got["ok"], (i, got)
+        assert got["indices"] == want["indices"], i
+        np.testing.assert_allclose(got["sims"], want["sims"], atol=1e-5,
+                                   err_msg=f"request {i}")
+        assert got["pids"] is None  # pid-less index serves cleanly
+    # own row wins even through SQ8 + rerank
+    for i, r in enumerate(results[:3]):
+        assert r["indices"][0][0] == i + 1
