@@ -320,7 +320,7 @@ def _build_torch_resnet50_base(torch_mod):
 # --------------------------------------------------------------------------
 
 
-def _run_ours(root):
+def _run_ours(root, kind_of_transform=1):
     from daliid_tpu.data import make_synthetic_dataset
     from daliid_tpu.eval.validate import Validator
     from daliid_tpu.models.factory import ModelBundle
@@ -346,8 +346,9 @@ def _run_ours(root):
     init_sd = variables_to_torch("resnet50", jax.device_get(online.variables))
 
     sampler = PKBatchSampler(
-        splits["train"], splits["train"].pids, P=P, K=K, kind_of_transform=1,
-        turbulence_dir=turb, seed=SEED,
+        splits["train"], splits["train"].pids, P=P, K=K,
+        kind_of_transform=kind_of_transform,
+        turbulence_dir=turb if kind_of_transform == 1 else None, seed=SEED,
     )
     tr = Trainer(
         online, momentum, sampler, img_size=IMG, num_epochs=TOTAL_EPOCHS,
@@ -445,6 +446,7 @@ def _run_ours(root):
     rec["init_sd"] = init_sd
     rec["splits"], rec["turb"] = splits, turb
     rec["label_set"] = sampler.label_set.copy()
+    rec["kind_of_transform"] = kind_of_transform
     return rec
 
 
@@ -582,8 +584,12 @@ def _run_reference(rec):
         img_height=IMG[0],
         img_width=IMG[1],
         turbulance_dir_path=rec["turb"],
-        is_clean_training=False,
-        kind_of_transform=1,
+        # the CL config (log_CL_training_Market.txt): single clean slot per
+        # sample, distortion 0 (train_encodersKIT.py:350-360);
+        # is_clean_training itself is stored-but-dead upstream (losses.py:54
+        # commented), so kind_of_transform carries the whole mode switch
+        is_clean_training=rec["kind_of_transform"] == 0,
+        kind_of_transform=rec["kind_of_transform"],
         optimizer=optimizer,
         P=P,
         K=K,
@@ -654,10 +660,15 @@ def _run_reference(rec):
     return {"epochs": epochs_out, "val_cmc": np.asarray(cmc), "val_map": float(mAP)}
 
 
-@pytest.fixture(scope="module")
-def oracle(tmp_path_factory):
-    root = str(tmp_path_factory.mktemp("oracle"))
-    ours = _run_ours(root)
+@pytest.fixture(scope="module", params=[1, 0], ids=["at", "clean"])
+def oracle(request, tmp_path_factory):
+    """Both reference training configs are lockstep-verified: the AT config
+    (kind_of_transform=1, paired [clean, distorted] slots —
+    log_AT_training_Market.txt) and the CL config (kind_of_transform=0,
+    clean-only slots — log_CL_training_Market.txt; VERDICT r4 item 5)."""
+    kot = request.param
+    root = str(tmp_path_factory.mktemp(f"oracle_kot{kot}"))
+    ours = _run_ours(root, kind_of_transform=kot)
     theirs = _run_reference(ours)
     return ours, theirs
 
@@ -778,7 +789,8 @@ def test_oracle_batches_were_full(oracle):
     """Sanity: no padding slots, so the reference (which has no masking) saw
     exactly what our losses saw."""
     ours, _ = oracle
+    per_slot = 2 if ours["kind_of_transform"] == 1 else 1
     for e in ours["epochs"]:
         for b in e["batches"]:
             assert b["mask"].all()
-            assert b["images"].shape[0] == P * K * 2
+            assert b["images"].shape[0] == P * K * per_slot
