@@ -125,6 +125,140 @@ def _rank_chunk_counting(
     return cmc_rows, ap.astype(jnp.float32), num_rel > 0
 
 
+def _use_pallas_rank() -> bool:
+    """Gate for the Pallas counting kernel (``ops/rank_counts.py``): TPU
+    backends only; ``DALIID_RANK_PALLAS=0`` reverts to the XLA scan."""
+    import os
+
+    if os.environ.get("DALIID_RANK_PALLAS", "1") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+# Queries per Pallas dispatch: every protocol size reuses the ONE compiled
+# (stripe, G_pad, P_pad) geometry — measured on chip, the 17.5k-query
+# full-geometry program takes >12 min of XLA/Mosaic compile while the
+# 2048-stripe compiles in ~12 s and pipelines back-to-back
+_PALLAS_RANK_STRIPE = 2048
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_rank", "query_chunk", "ignore_camera", "interpret"),
+)
+def _pallas_rank_stripe(
+    distmat, q_cols, q_pids, g_pids, q_camids, g_camids, max_rank,
+    query_chunk, ignore_camera=False, interpret=False,
+):
+    """One query stripe of the Pallas counting path: kernel counts
+    (``ops/rank_counts.py``) + the cheap O(B·P²) first-match/AP epilogue.
+    Returns UNnormalized (cmc_rows_sum (max_rank,), ap_sum (), n_valid ())
+    so stripes combine by addition. Bit-exact vs the XLA scan including
+    tied distances (same stable-order compare)."""
+    from daliid_tpu.ops.rank_counts import positive_rank_counts
+
+    num_q, G = distmat.shape
+    P = q_cols.shape[1]
+    q_pids = q_pids.astype(jnp.int32)
+    q_camids = q_camids.astype(jnp.int32)
+    g_pids = g_pids.astype(jnp.int32)
+    g_camids = g_camids.astype(jnp.int32)
+
+    valid_col = q_cols >= 0
+    safe = jnp.where(valid_col, q_cols, 0)
+    d_cols = jnp.take_along_axis(distmat, safe, axis=1)          # (B, P)
+    if ignore_camera:
+        posmask = valid_col
+    else:
+        posmask = valid_col & (g_camids[safe] != q_camids[:, None])
+    num_rel = posmask.sum(axis=1)
+    p_dist = jnp.where(posmask, d_cols, jnp.inf)
+    p_idx = jnp.where(posmask, safe, jnp.iinfo(jnp.int32).max)
+
+    counts = positive_rank_counts(
+        distmat, p_dist, p_idx, q_pids, q_camids, g_pids, g_camids,
+        ignore_camera=ignore_camera, interpret=interpret,
+    )
+
+    big = jnp.int32(G + 1)
+    c_valid = jnp.where(posmask, counts, big)
+    first = jnp.where(num_rel > 0, jnp.min(c_valid, axis=1), G)
+
+    # AP epilogue chunked over queries: pos_rank is (chunk, P, P)
+    pad = (-num_q) % query_chunk
+    cv_p = jnp.pad(c_valid, ((0, pad), (0, 0)), constant_values=big)
+    cnt_p = jnp.pad(counts, ((0, pad), (0, 0)))
+    pm_p = jnp.pad(posmask, ((0, pad), (0, 0)))
+    n_chunks = cv_p.shape[0] // query_chunk
+
+    def body(args):
+        cv, cnt, pm = args
+        pos_rank = jnp.sum(
+            cv[:, None, :] < cv[:, :, None], axis=2, dtype=jnp.int32
+        )
+        precision = (pos_rank.astype(jnp.float32) + 1.0) / (
+            cnt.astype(jnp.float32) + 1.0
+        )
+        return jnp.where(pm, precision, 0.0).sum(axis=1)
+
+    ap_all = jax.lax.map(
+        body,
+        (
+            cv_p.reshape(n_chunks, query_chunk, P),
+            cnt_p.reshape(n_chunks, query_chunk, P),
+            pm_p.reshape(n_chunks, query_chunk, P),
+        ),
+    ).reshape(-1)[:num_q]
+    ap = ap_all / jnp.maximum(num_rel, 1)
+
+    valid = num_rel > 0
+    cmc_rows = (first[:, None] <= jnp.arange(max_rank)[None, :]).astype(jnp.float32)
+    cmc_sum = (cmc_rows * valid[:, None]).sum(axis=0)
+    ap_sum = (ap.astype(jnp.float32) * valid).sum()
+    return cmc_sum, ap_sum, valid.sum()
+
+
+def _evaluate_rank_pallas_counts(
+    distmat, q_cols, q_pids, g_pids, q_camids, g_camids, max_rank,
+    query_chunk, count_all=False, ignore_camera=False, interpret=False,
+):
+    """Pallas counting-rank path: stripes queries at a fixed geometry
+    (``_PALLAS_RANK_STRIPE``) so any query-set size runs the one compiled
+    kernel; stripe sums combine on the host. Same (cmc, mAP) contract as
+    :func:`_evaluate_rank_jax`."""
+    num_q = int(distmat.shape[0])
+    stripe = min(_PALLAS_RANK_STRIPE, -(-max(num_q, 1) // 128) * 128)
+    cmc_sum = np.zeros(max_rank, np.float64)
+    ap_sum = 0.0
+    n_valid = 0.0
+    for s in range(0, num_q, stripe):
+        e = min(s + stripe, num_q)
+        pad = stripe - (e - s)
+        d = jax.lax.dynamic_slice_in_dim(distmat, s, e - s, axis=0)
+        cols = q_cols[s:e]
+        qp = q_pids[s:e]
+        qc = q_camids[s:e]
+        if pad:
+            # padded rows: pid -1 / cols -1 → zero positives → valid False
+            d = jnp.pad(d, ((0, pad), (0, 0)))
+            cols = jnp.pad(cols, ((0, pad), (0, 0)), constant_values=-1)
+            qp = jnp.pad(qp, (0, pad), constant_values=-1)
+            qc = jnp.pad(qc, (0, pad), constant_values=-1)
+        c_s, a_s, v_s = _pallas_rank_stripe(
+            d, cols, qp, g_pids, qc, g_camids, max_rank,
+            min(query_chunk, stripe), ignore_camera=ignore_camera,
+            interpret=interpret,
+        )
+        cmc_sum += np.asarray(c_s, np.float64)
+        ap_sum += float(a_s)
+        n_valid += float(v_s)
+    denom = float(num_q) if count_all else max(n_valid, 1.0)
+    return jnp.asarray(cmc_sum / denom, jnp.float32), jnp.float32(ap_sum / denom)
+
+
 def max_positives_bound(g_pids) -> int:
     """Static per-query positive-count bound: the largest gallery pid
     multiplicity (junk filtering only shrinks it). Rounded up to 8 so
@@ -252,6 +386,22 @@ def evaluate_rank_jax(
         max_positives = max_positives_bound(g_pids)
     query_chunk = min(query_chunk, max(int(distmat.shape[0]), 1))
     q_cols = positive_columns(np.asarray(q_pids), np.asarray(g_pids), max_positives)
+    # Large galleries on TPU route the O(Q·G·P) counting core through the
+    # Pallas kernel (VMEM-resident distmat sweep, striped over queries at a
+    # fixed geometry; BENCH.md §ranking-pallas); small protocols stay on
+    # the XLA scan (kernel launch not worth it). The striped path runs a
+    # host loop, so callers that trace evaluate_rank_jax inside their own
+    # jit keep the fully-traceable XLA route.
+    if (
+        _use_pallas_rank()
+        and int(distmat.shape[1]) >= 16384
+        and not isinstance(distmat, jax.core.Tracer)
+    ):
+        return _evaluate_rank_pallas_counts(
+            distmat, jnp.asarray(q_cols), q_pids, g_pids, q_camids, g_camids,
+            max_rank, query_chunk, count_all=count_all,
+            ignore_camera=ignore_camera,
+        )
     return _evaluate_rank_jax(
         distmat, jnp.asarray(q_cols), q_pids, g_pids, q_camids, g_camids,
         max_rank, query_chunk, g_block=g_block, count_all=count_all,

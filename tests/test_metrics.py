@@ -267,3 +267,85 @@ def test_small_max_positives_override_fails_loudly():
         np.asarray([9]), np.asarray([1, 1, 1, 1, 1]), max_rank=5, max_positives=2,
     )
     assert 0.0 < float(mAP) <= 1.0
+
+
+def _pallas_counts_rank(distmat, q_pids, g_pids, q_camids, g_camids,
+                        max_rank=10, count_all=False, ignore_camera=False,
+                        query_chunk=8):
+    """Drive the Pallas counting path directly (interpret mode — the CPU
+    mesh has no Mosaic) with the same host precompute as evaluate_rank_jax."""
+    import jax.numpy as jnp
+
+    from daliid_tpu.metrics.ranking import (
+        _evaluate_rank_pallas_counts,
+        max_positives_bound,
+        positive_columns,
+    )
+
+    q_cols = positive_columns(
+        np.asarray(q_pids), np.asarray(g_pids), max_positives_bound(g_pids)
+    )
+    cmc, mAP = _evaluate_rank_pallas_counts(
+        jnp.asarray(np.asarray(distmat, np.float32)), jnp.asarray(q_cols),
+        jnp.asarray(np.asarray(q_pids, np.int32)),
+        jnp.asarray(np.asarray(g_pids, np.int32)),
+        jnp.asarray(np.asarray(q_camids, np.int32)),
+        jnp.asarray(np.asarray(g_camids, np.int32)),
+        max_rank, query_chunk, count_all=count_all,
+        ignore_camera=ignore_camera, interpret=True,
+    )
+    return np.asarray(cmc), float(mAP)
+
+
+@pytest.mark.parametrize("seed", [3, 7])
+def test_pallas_rank_counts_matches_numpy(seed):
+    """The Pallas counting kernel path (ops/rank_counts.py) reproduces the
+    stable-order protocol exactly — random problems with odd (non-tile)
+    shapes so every padding branch is exercised."""
+    rng = np.random.default_rng(seed)
+    distmat, q_pids, g_pids, q_camids, g_camids = _random_problem(
+        rng, num_q=37, num_g=211
+    )
+    cmc_np, map_np = evaluate_rank_numpy(
+        distmat, q_pids, g_pids, q_camids, g_camids, max_rank=10
+    )
+    cmc, mAP = _pallas_counts_rank(distmat, q_pids, g_pids, q_camids, g_camids)
+    np.testing.assert_allclose(cmc, cmc_np, atol=1e-6)
+    assert mAP == pytest.approx(map_np, abs=1e-6)
+
+
+def test_pallas_rank_counts_tied_distances_fuzz(rng):
+    """Bit-exact stable-order tie handling in the kernel: quantized
+    distances force many exact ties; parity vs the stable-argsort oracle
+    and the XLA counting path, incl. the BRIAR conventions."""
+    import jax.numpy as jnp
+
+    for trial in range(6):
+        nq, ng = 13, 57
+        distmat = rng.integers(0, 6, size=(nq, ng)).astype(np.float32) / 8.0
+        q_pids = rng.integers(0, 5, nq)
+        g_pids = rng.integers(0, 5, ng)
+        q_camids = rng.integers(0, 3, nq)
+        g_camids = rng.integers(0, 3, ng)
+        cmc_np, map_np = evaluate_rank_numpy(
+            distmat, q_pids, g_pids, q_camids, g_camids, max_rank=10
+        )
+        cmc, mAP = _pallas_counts_rank(
+            distmat, q_pids, g_pids, q_camids, g_camids
+        )
+        np.testing.assert_allclose(cmc, cmc_np, atol=1e-6)
+        assert mAP == pytest.approx(map_np, abs=1e-6)
+        # BRIAR conventions (ignore_camera + count_all) vs the XLA path
+        from daliid_tpu.metrics.ranking import evaluate_rank_jax as erj
+
+        cmc_b, map_b = _pallas_counts_rank(
+            distmat, q_pids, g_pids, q_camids, g_camids,
+            count_all=True, ignore_camera=True,
+        )
+        cmc_x, map_x = erj(
+            jnp.asarray(distmat), jnp.asarray(q_pids), jnp.asarray(g_pids),
+            jnp.asarray(q_camids), jnp.asarray(g_camids), max_rank=10,
+            count_all=True, ignore_camera=True,
+        )
+        np.testing.assert_allclose(cmc_b, np.asarray(cmc_x), atol=1e-6)
+        assert map_b == pytest.approx(float(map_x), abs=1e-6)

@@ -96,23 +96,38 @@ def main():
     print(f"distmat {NQ}x{NG} (f32, {NQ * NG * 4 / 2**30:.2f} GiB): {dist_s * 1e3:.0f} ms "
           f"device time ({2 * NQ * NG * D / dist_s / 1e12:.0f} TF/s)")
 
-    rank_fn = jax.jit(
-        lambda d: evaluate_rank_jax(d, qp, gp, qc, gc, max_rank=50, query_chunk=512)
-    )
-    t0 = time.perf_counter()
-    cmc, mAP = rank_fn(distmat)
-    cmc_h, map_h = np.asarray(cmc), float(mAP)  # full fetch = real sync
-    compile_s = time.perf_counter() - t0
-    tdir = tempfile.mkdtemp(prefix="dc_trace_")
-    with jax.profiler.trace(tdir):
-        for _ in range(3):
-            cmc, mAP = rank_fn(distmat)
-        jax.block_until_ready((cmc, mAP))
-        time.sleep(0.5)
-    rank_s = device_ms_from_trace(tdir) / 3 / 1e3
-    print(f"on-device CMC/mAP over full {NQ}x{NG}: {rank_s * 1e3:.0f} ms device time "
-          f"(first call incl. compile {compile_s:.2f} s)")
-    print(f"R1={cmc_h[0]:.4f} R5={cmc_h[4]:.4f} mAP={map_h:.4f}")
+    # both counting-core routes: the XLA lax.map scan (round 2) and the
+    # Pallas VMEM-sweep kernel (round 5, ops/rank_counts.py) — the
+    # DALIID_RANK_PALLAS env gate is read per call
+    results = {}
+    for route, env in (("xla-scan", "0"), ("pallas", "1")):
+        os.environ["DALIID_RANK_PALLAS"] = env
+
+        def rank_fn(d):
+            return evaluate_rank_jax(d, qp, gp, qc, gc, max_rank=50, query_chunk=512)
+
+        t0 = time.perf_counter()
+        cmc, mAP = rank_fn(distmat)
+        cmc_h, map_h = np.asarray(cmc), float(mAP)  # full fetch = real sync
+        compile_s = time.perf_counter() - t0
+        tdir = tempfile.mkdtemp(prefix="dc_trace_")
+        with jax.profiler.trace(tdir):
+            for _ in range(3):
+                cmc, mAP = rank_fn(distmat)
+            jax.block_until_ready((cmc, mAP))
+            time.sleep(0.5)
+        rank_s = device_ms_from_trace(tdir) / 3 / 1e3
+        results[route] = (rank_s, cmc_h, map_h)
+        print(f"on-device CMC/mAP over full {NQ}x{NG} [{route}]: "
+              f"{rank_s * 1e3:.0f} ms device time "
+              f"(first call incl. compile {compile_s:.2f} s)")
+        print(f"R1={cmc_h[0]:.4f} R5={cmc_h[4]:.4f} mAP={map_h:.4f}")
+    rank_s, cmc_h, map_h = results["pallas"]
+    np.testing.assert_allclose(results["xla-scan"][1], cmc_h, atol=1e-6)
+    assert abs(results["xla-scan"][2] - map_h) < 1e-6
+    print(f"route parity OK; pallas speedup "
+          f"{results['xla-scan'][0] / max(rank_s, 1e-9):.2f}x")
+    os.environ["DALIID_RANK_PALLAS"] = "1"
 
     # correctness spot-check on a query subsample vs the numpy oracle
     sub = rng.choice(NQ, 256, replace=False)
@@ -128,7 +143,9 @@ def main():
     np.testing.assert_allclose(float(map_dev), map_np, atol=1e-5)
     print("subsample parity vs numpy oracle: OK")
 
-    # HBM headroom for the ranking program
+    # HBM headroom for the ranking program (the XLA route — tracing inside
+    # jit falls back to it by design; the pallas route's peak is the stripe,
+    # ~0.5 GiB transposed + the 4.11 GiB resident distmat)
     lowered = jax.jit(
         lambda d: evaluate_rank_jax(d, qp, gp, qc, gc, max_rank=50, query_chunk=512)
     ).lower(distmat)
@@ -160,6 +177,8 @@ def main():
 
     print(json.dumps({
         "distmat_s": dist_s, "rank_warm_s": rank_s,
+        "rank_xla_s": results["xla-scan"][0],
+        "rank_pallas_s": results["pallas"][0],
         "sharded_total_s": shard_total,
         "r1": float(cmc_h[0]), "map": map_h,
     }))
