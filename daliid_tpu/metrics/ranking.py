@@ -259,6 +259,61 @@ def _evaluate_rank_pallas_counts(
     return jnp.asarray(cmc_sum / denom, jnp.float32), jnp.float32(ap_sum / denom)
 
 
+def _rank_chunk_counting_kernel(
+    dist_chunk, q_cols, q_pids, q_camids, g_pids, g_camids, max_rank,
+    ignore_camera=False, interpret=False,
+):
+    """Same contract as :func:`_rank_chunk_counting` — (cmc_rows, ap,
+    valid) for one query chunk — with the O(B·G·P) counting core in the
+    Pallas kernel. Traceable (no host loop), so it runs inside the
+    shard_map ranking programs; geometry is the (chunk, G, P) shapes of
+    the call site, compiled once per protocol."""
+    from daliid_tpu.ops.rank_counts import positive_rank_counts
+
+    B, G = dist_chunk.shape
+    valid_col = q_cols >= 0
+    safe = jnp.where(valid_col, q_cols, 0)
+    d_cols = jnp.take_along_axis(dist_chunk, safe, axis=1)
+    if ignore_camera:
+        posmask = valid_col
+    else:
+        posmask = valid_col & (g_camids[safe] != q_camids[:, None])
+    num_rel = posmask.sum(axis=1)
+    p_dist = jnp.where(posmask, d_cols, jnp.inf)
+    p_idx = jnp.where(posmask, safe, jnp.iinfo(jnp.int32).max)
+
+    counts = positive_rank_counts(
+        dist_chunk, p_dist, p_idx, q_pids, q_camids, g_pids, g_camids,
+        ignore_camera=ignore_camera, interpret=interpret,
+    )
+
+    big = jnp.int32(G + 1)
+    c_valid = jnp.where(posmask, counts, big)
+    first = jnp.where(num_rel > 0, jnp.min(c_valid, axis=1), G)
+    pos_rank = jnp.sum(
+        c_valid[:, None, :] < c_valid[:, :, None], axis=2, dtype=jnp.int32
+    )
+    precision = (pos_rank.astype(jnp.float32) + 1.0) / (counts.astype(jnp.float32) + 1.0)
+    ap = jnp.where(posmask, precision, 0.0).sum(axis=1) / jnp.maximum(num_rel, 1)
+    cmc_rows = (first[:, None] <= jnp.arange(max_rank)[None, :]).astype(jnp.float32)
+    return cmc_rows, ap.astype(jnp.float32), num_rel > 0
+
+
+def _chunk_ranker(use_pallas: bool, interpret: bool, max_rank: int,
+                  ignore_camera: bool):
+    """Chunk-ranking callable for the sharded programs: the Pallas counting
+    kernel on TPU protocols, the XLA scan otherwise (same bit-exact
+    contract either way)."""
+    if use_pallas:
+        return functools.partial(
+            _rank_chunk_counting_kernel, max_rank=max_rank,
+            ignore_camera=ignore_camera, interpret=interpret,
+        )
+    return functools.partial(
+        _rank_chunk_counting, max_rank=max_rank, ignore_camera=ignore_camera,
+    )
+
+
 def max_positives_bound(g_pids) -> int:
     """Static per-query positive-count bound: the largest gallery pid
     multiplicity (junk filtering only shrinks it). Rounded up to 8 so
@@ -460,7 +515,10 @@ def evaluate_rank_sharded(
         ((0, pad), (0, 0)), constant_values=-1,
     )
 
-    fn = _sharded_rank_fn(mesh, max_rank, ignore_camera, query_chunk)
+    fn = _sharded_rank_fn(
+        mesh, max_rank, ignore_camera, query_chunk,
+        use_pallas=_use_pallas_rank() and g.shape[0] >= 16384,
+    )
     # host numpy straight into the jit: each process passes the same global
     # arrays and jax materializes only the addressable shards — required for
     # multi-process meshes (a committed local device array cannot be
@@ -540,7 +598,8 @@ def evaluate_rank_sharded_multihead(
     )
 
     fn = _sharded_rank_multihead_fn(
-        mesh, max_rank, ignore_camera, query_chunk, dims, head_weighting
+        mesh, max_rank, ignore_camera, query_chunk, dims, head_weighting,
+        use_pallas=_use_pallas_rank() and g.shape[0] >= 16384,
     )
     cmc_sum, ap_sum, n_valid = fn(q, qcols, qp, qc, q_mags, g, gp, gc, g_mags)
     denom = float(num_q) if count_all else max(float(n_valid), 1.0)
@@ -549,7 +608,9 @@ def evaluate_rank_sharded_multihead(
 
 @functools.lru_cache(maxsize=16)
 def _sharded_rank_multihead_fn(mesh, max_rank: int, ignore_camera: bool,
-                               query_chunk: int, dims: tuple, weighting: str):
+                               query_chunk: int, dims: tuple, weighting: str,
+                               use_pallas: bool = False,
+                               interpret: bool = False):
     """Compiled shard_map program for the multi-head ensemble ranking;
     cached per configuration like :func:`_sharded_rank_fn`. ``dims`` (the
     static per-head feature widths) slice the concatenated embeddings
@@ -585,10 +646,9 @@ def _sharded_rank_multihead_fn(mesh, max_rank: int, ignore_camera: bool,
                 else:
                     num = num + dist_h
             dist = num / (den if weighting == "magnitude" else float(len(dims)))
-            cmc_rows, ap, valid = _rank_chunk_counting(
-                dist, cols_c, qp_c, qc_c, gp_r, gc_r, max_rank,
-                ignore_camera=ignore_camera,
-            )
+            cmc_rows, ap, valid = _chunk_ranker(
+                use_pallas, interpret, max_rank, ignore_camera
+            )(dist, cols_c, qp_c, qc_c, gp_r, gc_r)
             valid_f = valid.astype(jnp.float32)
             return (
                 jnp.sum(cmc_rows * valid_f[:, None], axis=0),
@@ -626,11 +686,13 @@ def _sharded_rank_multihead_fn(mesh, max_rank: int, ignore_camera: bool,
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_rank_fn(mesh, max_rank: int, ignore_camera: bool, query_chunk: int):
-    """Compiled shard_map ranking program, cached per (mesh, max_rank,
-    ignore_camera, query_chunk) so per-epoch validation / multi-split
-    evaluation reuse one executable instead of re-tracing each call (jit
-    handles new shapes within a cache entry)."""
+def _sharded_rank_fn(mesh, max_rank: int, ignore_camera: bool, query_chunk: int,
+                     use_pallas: bool = False, interpret: bool = False):
+    """Compiled shard_map ranking program, cached per configuration so
+    per-epoch validation / multi-split evaluation reuse one executable
+    instead of re-tracing each call (jit handles new shapes within a cache
+    entry). ``use_pallas`` routes each chunk's counting core through the
+    Pallas kernel (TPU large-gallery protocols; BENCH.md §ranking-pallas)."""
     from jax.sharding import PartitionSpec as P
 
     def local(q_l, qcols_l, qp_l, qc_l, g_r, gp_r, gc_r):
@@ -647,10 +709,9 @@ def _sharded_rank_fn(mesh, max_rank: int, ignore_camera: bool, query_chunk: int)
         def body(args):
             q_c, cols_c, qp_c, qc_c = args
             dist = 1.0 - jnp.dot(q_c, g_r.T, preferred_element_type=jnp.float32)
-            cmc_rows, ap, valid = _rank_chunk_counting(
-                dist, cols_c, qp_c, qc_c, gp_r, gc_r, max_rank,
-                ignore_camera=ignore_camera,
-            )
+            cmc_rows, ap, valid = _chunk_ranker(
+                use_pallas, interpret, max_rank, ignore_camera
+            )(dist, cols_c, qp_c, qc_c, gp_r, gc_r)
             valid_f = valid.astype(jnp.float32)
             return (
                 jnp.sum(cmc_rows * valid_f[:, None], axis=0),

@@ -349,3 +349,47 @@ def test_pallas_rank_counts_tied_distances_fuzz(rng):
         )
         np.testing.assert_allclose(cmc_b, np.asarray(cmc_x), atol=1e-6)
         assert map_b == pytest.approx(float(map_x), abs=1e-6)
+
+
+def test_sharded_pallas_rank_matches_numpy(rng):
+    """The sharded ranking program with the Pallas chunk ranker (the route
+    multi-device TPU protocols take) matches the oracle — interpret mode,
+    8-device CPU mesh, odd shapes."""
+    from daliid_tpu.metrics import ranking as R
+    from daliid_tpu.parallel.mesh import make_mesh
+
+    nq, ng, d = 37, 211, 16
+    q_fvs = rng.normal(size=(nq, d)).astype(np.float32)
+    g_fvs = rng.normal(size=(ng, d)).astype(np.float32)
+    q_pids = rng.integers(0, 9, nq)
+    g_pids = rng.integers(0, 9, ng)
+    q_camids = rng.integers(0, 3, nq)
+    g_camids = rng.integers(0, 3, ng)
+
+    mesh = make_mesh()
+    # replicate evaluate_rank_sharded's host prep, forcing the pallas route
+    qn = q_fvs / (np.linalg.norm(q_fvs, axis=1, keepdims=True) + 1e-12)
+    gn = g_fvs / (np.linalg.norm(g_fvs, axis=1, keepdims=True) + 1e-12)
+    n_dev = mesh.devices.size
+    pad = (-nq) % n_dev
+    qn = np.pad(qn, ((0, pad), (0, 0)))
+    qp = np.pad(q_pids.astype(np.int32), (0, pad), constant_values=-1)
+    qc = np.pad(q_camids.astype(np.int32), (0, pad), constant_values=-1)
+    qcols = np.pad(
+        R.positive_columns(q_pids, g_pids, R.max_positives_bound(g_pids)),
+        ((0, pad), (0, 0)), constant_values=-1,
+    )
+    fn = R._sharded_rank_fn(mesh, 10, False, 8, use_pallas=True, interpret=True)
+    cmc_sum, ap_sum, n_valid = fn(
+        qn, qcols, qp, qc, gn, g_pids.astype(np.int32), g_camids.astype(np.int32)
+    )
+    denom = max(float(n_valid), 1.0)
+    cmc = np.asarray(cmc_sum) / denom
+    mAP = float(ap_sum) / denom
+
+    distmat = 1.0 - qn[:nq] @ gn.T
+    cmc_np, map_np = evaluate_rank_numpy(
+        distmat, q_pids, g_pids, q_camids, g_camids, max_rank=10
+    )
+    np.testing.assert_allclose(cmc, cmc_np, atol=1e-5)
+    assert mAP == pytest.approx(map_np, abs=1e-5)

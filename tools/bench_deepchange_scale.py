@@ -68,18 +68,37 @@ def main():
     import re
 
     def device_ms_from_trace(tdir):
+        """Device busy time as the UNION of device-lane op spans.
+
+        A flat sum of event durations double-counts nested events — a
+        `while` wrapper (any lax.map/scan program) carries the full loop
+        duration AND its body ops appear as separate events. Rounds 2-4
+        reported ranking device times with the flat sum, overstating the
+        XLA-scan route ~2.7x (1,160 ms reported vs 431 ms true busy —
+        see BENCH.md §ranking-pallas correction)."""
         fpath = sorted(glob.glob(tdir + "/plugins/profile/*/*.trace.json.gz"))[-1]
         data = json_mod.load(gzip.open(fpath))
         pids = {e["pid"]: e["args"].get("name", "") for e in data["traceEvents"]
                 if e.get("ph") == "M" and e.get("name") == "process_name"}
         dev_pids = {p for p, n in pids.items() if "TPU" in n}
-        tot = 0.0
+        spans = []
         for e in data["traceEvents"]:
             if (e.get("ph") == "X" and e.get("pid") in dev_pids
                     and not e["name"].startswith("jit_")
                     and not re.fullmatch(r"\d+", e["name"])):
-                tot += e.get("dur", 0)
-        return tot / 1e3
+                spans.append((e["ts"], e["ts"] + e.get("dur", 0)))
+        spans.sort()
+        busy, cur_s, cur_e = 0.0, None, None
+        for s, e2 in spans:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    busy += cur_e - cur_s
+                cur_s, cur_e = s, e2
+            else:
+                cur_e = max(cur_e, e2)
+        if cur_e is not None:
+            busy += cur_e - cur_s
+        return busy / 1e3
 
     dist_fn = jax.jit(cosine_distance_matrix)
     distmat = dist_fn(q, g)
