@@ -128,18 +128,24 @@ def _teardown(procs, grace_seconds: float) -> None:
 
 
 def _run_gang(train_argv, num_processes: int, grace_seconds: float,
-              straggler_timeout: float = 0.0) -> int:
-    """One attempt of an N-rank jax.distributed gang. Returns 0 only when
-    every rank exits 0; on any rank failure the survivors (typically blocked
-    in a collective on the dead rank) are torn down — SIGTERM after the
-    grace window, SIGKILL 5 s later — and the first failing rank's code is
-    returned. A fresh coordinator port per attempt avoids TIME_WAIT reuse.
+              straggler_timeout: float = 0.0) -> tuple[int, float | None]:
+    """One attempt of an N-rank jax.distributed gang. Returns
+    ``(rc, fail_elapsed)``: rc 0 only when every rank exits 0; on any rank
+    failure the survivors (typically blocked in a collective on the dead
+    rank) are torn down — SIGTERM after the grace window, SIGKILL 5 s
+    later — and the first failing rank's code is returned.
+    ``fail_elapsed`` is the seconds from launch to the FIRST failure
+    detection (None on success) — measured before teardown, so the caller's
+    bootstrap-failure classification is not skewed by the grace/SIGTERM
+    waits or slow interpreter startup of the survivors. A fresh coordinator
+    port per attempt avoids TIME_WAIT reuse.
 
     Liveness watchdog (``straggler_timeout`` > 0): once any rank has exited
     — including rc=0, the no-dead-rank deadlock case where a survivor blocks
     in a collective forever — the rest must finish within the timeout or the
     gang is torn down and reported failed (rc 1)."""
     coord = f"127.0.0.1:{_free_port()}"
+    t_launch = time.time()
     procs = []
     for rank in range(num_processes):
         cmd = [
@@ -154,18 +160,20 @@ def _run_gang(train_argv, num_processes: int, grace_seconds: float,
     while True:
         codes = [p.poll() for p in procs]
         if all(c == 0 for c in codes):
-            return 0
+            return 0, None
         failed = [(i, c) for i, c in enumerate(codes) if c is not None and c != 0]
         if failed:
+            fail_elapsed = time.time() - t_launch
             rank, rc = failed[0]
             alive = [i for i, c in enumerate(codes) if c is None]
             print(
-                f"[supervise] rank {rank} exited rc={rc}"
+                f"[supervise] rank {rank} exited rc={rc} "
+                f"{fail_elapsed:.1f}s after launch"
                 + (f" — tearing down surviving rank(s) {alive}" if alive else ""),
                 flush=True,
             )
             _teardown(procs, grace_seconds)
-            return rc
+            return rc, fail_elapsed
         if any(c is not None for c in codes):
             if first_exit_at is None:
                 first_exit_at = time.time()
@@ -178,7 +186,8 @@ def _run_gang(train_argv, num_processes: int, grace_seconds: float,
                     flush=True,
                 )
                 _teardown(procs, grace_seconds)
-                return 1
+                # a hang is never a bootstrap failure
+                return 1, None
         time.sleep(0.5)
 
 
@@ -233,15 +242,17 @@ def main(args) -> int:
         if attempt > 1 and "--resume" not in argv:
             argv.append("--resume")
         step_before = _latest_step(save_dir)
-        t_attempt = time.time()
+        fail_elapsed = None
         if args.multihost >= 1:
             print(
                 f"[supervise] attempt {attempt}: {args.multihost}-rank gang of "
                 f"daliid_tpu.cli.train {' '.join(argv)}",
                 flush=True,
             )
-            rc = _run_gang(argv, args.multihost, args.teardown_grace_seconds,
-                           args.straggler_timeout)
+            rc, fail_elapsed = _run_gang(
+                argv, args.multihost, args.teardown_grace_seconds,
+                args.straggler_timeout,
+            )
         else:
             cmd = [sys.executable, "-m", "daliid_tpu.cli.train", *argv]
             print(f"[supervise] attempt {attempt}: {' '.join(cmd)}", flush=True)
@@ -253,20 +264,21 @@ def main(args) -> int:
         if step_after > step_before:
             failures_without_progress = 0  # the run moved forward: budget resets
         elif (
-            args.multihost >= 1
-            and time.time() - t_attempt < _BOOTSTRAP_WINDOW_SECONDS
+            fail_elapsed is not None
+            and fail_elapsed < _BOOTSTRAP_WINDOW_SECONDS
             and bootstrap_retries < _MAX_BOOTSTRAP_RETRIES
         ):
-            # a gang that dies within seconds of launch most likely lost the
+            # a rank that dies within seconds of launch (measured to FIRST
+            # failure, before any teardown/grace waits) most likely lost the
             # _free_port() TOCTOU race (another process claimed the probed
             # port before rank 0's coordinator bind): retry on a fresh port
             # WITHOUT burning the restart budget. Bounded, so a
             # deterministically-instant crash (bad flags) still gives up.
             bootstrap_retries += 1
             print(
-                f"[supervise] gang died {time.time() - t_attempt:.1f}s after "
-                f"launch (rc={rc}) — treating as a coordinator-bootstrap "
-                f"failure; free retry {bootstrap_retries}/{_MAX_BOOTSTRAP_RETRIES} "
+                f"[supervise] gang failed {fail_elapsed:.1f}s after launch "
+                f"(rc={rc}) — treating as a coordinator-bootstrap failure; "
+                f"free retry {bootstrap_retries}/{_MAX_BOOTSTRAP_RETRIES} "
                 f"on a fresh port",
                 flush=True,
             )

@@ -73,14 +73,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mining_calib_batches", type=int, default=1)
     p.add_argument(
         "--grad_accum", type=int, default=1,
-        help="microbatches per optimizer step: the P*K batch is split into N "
-             "contiguous chunks whose grads are averaged before ONE Adam "
-             "update + ONE EMA lerp (BN stats thread sequentially). Memory "
-             "knob: saved activations scale with batch/N, so batches whose "
-             "activations exceed HBM avoid XLA's auto-remat recompute "
-             "(BENCH.md §transformer-train). N must divide the device batch "
-             "(P*K padded to a mesh multiple) and keep microbatches even "
-             "for paired AT batches. NOTE: BN-neck batch stats are computed "
+        help="microbatches per optimizer step: the device batch is split "
+             "into N strided chunks (identities round-robin; AT pairs move "
+             "as units) whose grads combine weighted by valid-slot count "
+             "before ONE Adam update + ONE EMA lerp (BN stats thread "
+             "sequentially). Memory knob: saved activations scale with "
+             "batch/N, so batches whose activations exceed HBM avoid XLA's "
+             "auto-remat recompute (measured +30%% ViT-B / +34%% JPM at N=8 "
+             "— BENCH.md §transformer-train). N must divide the device "
+             "batch (P*K padded to a mesh multiple; the pair count for "
+             "paired AT batches). NOTE: BN-neck batch stats are computed "
              "per-microbatch (torch grad-accum semantics)",
     )
     p.add_argument("--resume", action="store_true")

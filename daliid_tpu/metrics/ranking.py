@@ -41,6 +41,43 @@ def cosine_distance_matrix(query_fvs: jnp.ndarray, gallery_fvs: jnp.ndarray) -> 
     return 1.0 - q @ g.T
 
 
+def _positive_prologue(dist_chunk, q_cols, q_camids, g_camids, ignore_camera):
+    """Shared positive extraction for every counting route: gather each
+    query's same-pid gallery columns (``q_cols``, -1 padded), drop the
+    query-camera ("junk") ones unless ``ignore_camera`` (BRIAR), and return
+    ``(posmask, num_rel, p_dist, p_idx)`` with +inf / int32-max sentinels at
+    invalid slots — the stable-order thresholds the counting cores compare
+    against. One definition keeps the XLA scan and the Pallas kernel routes
+    from drifting."""
+    valid_col = q_cols >= 0
+    safe = jnp.where(valid_col, q_cols, 0)
+    d_cols = jnp.take_along_axis(dist_chunk, safe, axis=1)       # (B, P)
+    if ignore_camera:
+        posmask = valid_col
+    else:
+        posmask = valid_col & (g_camids[safe] != q_camids[:, None])
+    num_rel = posmask.sum(axis=1)
+    p_dist = jnp.where(posmask, d_cols, jnp.inf)
+    p_idx = jnp.where(posmask, safe, jnp.iinfo(jnp.int32).max)
+    return posmask, num_rel, p_dist, p_idx
+
+
+def _counts_epilogue(counts, posmask, num_rel, G, max_rank):
+    """Shared counts → (cmc_rows, ap, valid) tail: first match = min kept
+    count over valid positives; AP ranks positives among themselves with a
+    (B, P, P) strict compare (stable-order ranks are unique per query)."""
+    big = jnp.int32(G + 1)
+    c_valid = jnp.where(posmask, counts, big)
+    first = jnp.where(num_rel > 0, jnp.min(c_valid, axis=1), G)
+    pos_rank = jnp.sum(
+        c_valid[:, None, :] < c_valid[:, :, None], axis=2, dtype=jnp.int32
+    )
+    precision = (pos_rank.astype(jnp.float32) + 1.0) / (counts.astype(jnp.float32) + 1.0)
+    ap = jnp.where(posmask, precision, 0.0).sum(axis=1) / jnp.maximum(num_rel, 1)
+    cmc_rows = (first[:, None] <= jnp.arange(max_rank)[None, :]).astype(jnp.float32)
+    return cmc_rows, ap.astype(jnp.float32), num_rel > 0
+
+
 def _rank_chunk_counting(
     dist_chunk: jnp.ndarray,   # (B, G) float
     q_cols: jnp.ndarray,       # (B, P) int32 same-pid gallery columns, -1 pad
@@ -75,18 +112,9 @@ def _rank_chunk_counting(
     else:
         junk = same_pid & (g_camids[None, :] == q_camids[:, None])
 
-    valid_col = q_cols >= 0
-    safe = jnp.where(valid_col, q_cols, 0)
-    d_cols = jnp.take_along_axis(dist_chunk, safe, axis=1)       # (B, P)
-    col_cam = g_camids[safe]                                     # (B, P)
-    # same-pid columns minus the query-camera ("junk") ones = positives
-    if ignore_camera:
-        posmask = valid_col
-    else:
-        posmask = valid_col & (col_cam != q_camids[:, None])
-    num_rel = posmask.sum(axis=1)
-    p = jnp.where(posmask, d_cols, jnp.inf)
-    gidx = jnp.where(posmask, safe, jnp.iinfo(jnp.int32).max)
+    posmask, num_rel, p, gidx = _positive_prologue(
+        dist_chunk, q_cols, q_camids, g_camids, ignore_camera
+    )
 
     pad = (-G) % g_block
     d_p = jnp.pad(dist_chunk, ((0, 0), (0, pad)), constant_values=jnp.inf)
@@ -110,19 +138,7 @@ def _rank_chunk_counting(
     counts, _ = jax.lax.scan(
         body, jnp.zeros((B, q_cols.shape[1]), jnp.int32), (d_b, k_b, idx_b)
     )
-
-    big = jnp.int32(G + 1)
-    c_valid = jnp.where(posmask, counts, big)
-    first = jnp.where(num_rel > 0, jnp.min(c_valid, axis=1), G)
-    # each positive's 0-based position among the query's positives (ranks
-    # are unique within a row, so a strict compare-count is the position)
-    pos_rank = jnp.sum(
-        c_valid[:, None, :] < c_valid[:, :, None], axis=2, dtype=jnp.int32
-    )
-    precision = (pos_rank.astype(jnp.float32) + 1.0) / (counts.astype(jnp.float32) + 1.0)
-    ap = jnp.where(posmask, precision, 0.0).sum(axis=1) / jnp.maximum(num_rel, 1)
-    cmc_rows = (first[:, None] <= jnp.arange(max_rank)[None, :]).astype(jnp.float32)
-    return cmc_rows, ap.astype(jnp.float32), num_rel > 0
+    return _counts_epilogue(counts, posmask, num_rel, G, max_rank)
 
 
 def _use_pallas_rank() -> bool:
@@ -167,58 +183,41 @@ def _pallas_rank_stripe(
     g_pids = g_pids.astype(jnp.int32)
     g_camids = g_camids.astype(jnp.int32)
 
-    valid_col = q_cols >= 0
-    safe = jnp.where(valid_col, q_cols, 0)
-    d_cols = jnp.take_along_axis(distmat, safe, axis=1)          # (B, P)
-    if ignore_camera:
-        posmask = valid_col
-    else:
-        posmask = valid_col & (g_camids[safe] != q_camids[:, None])
-    num_rel = posmask.sum(axis=1)
-    p_dist = jnp.where(posmask, d_cols, jnp.inf)
-    p_idx = jnp.where(posmask, safe, jnp.iinfo(jnp.int32).max)
-
+    posmask, num_rel, p_dist, p_idx = _positive_prologue(
+        distmat, q_cols, q_camids, g_camids, ignore_camera
+    )
     counts = positive_rank_counts(
         distmat, p_dist, p_idx, q_pids, q_camids, g_pids, g_camids,
         ignore_camera=ignore_camera, interpret=interpret,
     )
 
-    big = jnp.int32(G + 1)
-    c_valid = jnp.where(posmask, counts, big)
-    first = jnp.where(num_rel > 0, jnp.min(c_valid, axis=1), G)
-
-    # AP epilogue chunked over queries: pos_rank is (chunk, P, P)
+    # shared epilogue, chunked over queries (pos_rank is (chunk, P, P));
+    # padded rows carry num_rel 0 → valid False → excluded from every sum
     pad = (-num_q) % query_chunk
-    cv_p = jnp.pad(c_valid, ((0, pad), (0, 0)), constant_values=big)
     cnt_p = jnp.pad(counts, ((0, pad), (0, 0)))
     pm_p = jnp.pad(posmask, ((0, pad), (0, 0)))
-    n_chunks = cv_p.shape[0] // query_chunk
+    nr_p = jnp.pad(num_rel, (0, pad))
+    n_chunks = cnt_p.shape[0] // query_chunk
 
     def body(args):
-        cv, cnt, pm = args
-        pos_rank = jnp.sum(
-            cv[:, None, :] < cv[:, :, None], axis=2, dtype=jnp.int32
+        cnt, pm, nr = args
+        cmc_rows, ap, valid = _counts_epilogue(cnt, pm, nr, G, max_rank)
+        v = valid.astype(jnp.float32)
+        return (
+            (cmc_rows * v[:, None]).sum(axis=0),
+            (ap * v).sum(),
+            v.sum(),
         )
-        precision = (pos_rank.astype(jnp.float32) + 1.0) / (
-            cnt.astype(jnp.float32) + 1.0
-        )
-        return jnp.where(pm, precision, 0.0).sum(axis=1)
 
-    ap_all = jax.lax.map(
+    cmc_c, ap_c, nv_c = jax.lax.map(
         body,
         (
-            cv_p.reshape(n_chunks, query_chunk, P),
             cnt_p.reshape(n_chunks, query_chunk, P),
             pm_p.reshape(n_chunks, query_chunk, P),
+            nr_p.reshape(n_chunks, query_chunk),
         ),
-    ).reshape(-1)[:num_q]
-    ap = ap_all / jnp.maximum(num_rel, 1)
-
-    valid = num_rel > 0
-    cmc_rows = (first[:, None] <= jnp.arange(max_rank)[None, :]).astype(jnp.float32)
-    cmc_sum = (cmc_rows * valid[:, None]).sum(axis=0)
-    ap_sum = (ap.astype(jnp.float32) * valid).sum()
-    return cmc_sum, ap_sum, valid.sum()
+    )
+    return cmc_c.sum(axis=0), ap_c.sum(), nv_c.sum()
 
 
 def _evaluate_rank_pallas_counts(
@@ -231,9 +230,10 @@ def _evaluate_rank_pallas_counts(
     :func:`_evaluate_rank_jax`."""
     num_q = int(distmat.shape[0])
     stripe = min(_PALLAS_RANK_STRIPE, -(-max(num_q, 1) // 128) * 128)
-    cmc_sum = np.zeros(max_rank, np.float64)
-    ap_sum = 0.0
-    n_valid = 0.0
+    # device results collect in lists and fetch ONCE after the loop: a
+    # per-stripe host sync would serialize stripe dispatch against the
+    # host's slice/pad prep (review finding r5)
+    parts = []
     for s in range(0, num_q, stripe):
         e = min(s + stripe, num_q)
         pad = stripe - (e - s)
@@ -247,14 +247,15 @@ def _evaluate_rank_pallas_counts(
             cols = jnp.pad(cols, ((0, pad), (0, 0)), constant_values=-1)
             qp = jnp.pad(qp, (0, pad), constant_values=-1)
             qc = jnp.pad(qc, (0, pad), constant_values=-1)
-        c_s, a_s, v_s = _pallas_rank_stripe(
+        parts.append(_pallas_rank_stripe(
             d, cols, qp, g_pids, qc, g_camids, max_rank,
             min(query_chunk, stripe), ignore_camera=ignore_camera,
             interpret=interpret,
-        )
-        cmc_sum += np.asarray(c_s, np.float64)
-        ap_sum += float(a_s)
-        n_valid += float(v_s)
+        ))
+    parts = jax.device_get(parts)
+    cmc_sum = np.sum([np.asarray(c, np.float64) for c, _, _ in parts], axis=0)
+    ap_sum = float(np.sum([a for _, a, _ in parts]))
+    n_valid = float(np.sum([v for _, _, v in parts]))
     denom = float(num_q) if count_all else max(n_valid, 1.0)
     return jnp.asarray(cmc_sum / denom, jnp.float32), jnp.float32(ap_sum / denom)
 
@@ -270,33 +271,15 @@ def _rank_chunk_counting_kernel(
     the call site, compiled once per protocol."""
     from daliid_tpu.ops.rank_counts import positive_rank_counts
 
-    B, G = dist_chunk.shape
-    valid_col = q_cols >= 0
-    safe = jnp.where(valid_col, q_cols, 0)
-    d_cols = jnp.take_along_axis(dist_chunk, safe, axis=1)
-    if ignore_camera:
-        posmask = valid_col
-    else:
-        posmask = valid_col & (g_camids[safe] != q_camids[:, None])
-    num_rel = posmask.sum(axis=1)
-    p_dist = jnp.where(posmask, d_cols, jnp.inf)
-    p_idx = jnp.where(posmask, safe, jnp.iinfo(jnp.int32).max)
-
+    G = dist_chunk.shape[1]
+    posmask, num_rel, p_dist, p_idx = _positive_prologue(
+        dist_chunk, q_cols, q_camids, g_camids, ignore_camera
+    )
     counts = positive_rank_counts(
         dist_chunk, p_dist, p_idx, q_pids, q_camids, g_pids, g_camids,
         ignore_camera=ignore_camera, interpret=interpret,
     )
-
-    big = jnp.int32(G + 1)
-    c_valid = jnp.where(posmask, counts, big)
-    first = jnp.where(num_rel > 0, jnp.min(c_valid, axis=1), G)
-    pos_rank = jnp.sum(
-        c_valid[:, None, :] < c_valid[:, :, None], axis=2, dtype=jnp.int32
-    )
-    precision = (pos_rank.astype(jnp.float32) + 1.0) / (counts.astype(jnp.float32) + 1.0)
-    ap = jnp.where(posmask, precision, 0.0).sum(axis=1) / jnp.maximum(num_rel, 1)
-    cmc_rows = (first[:, None] <= jnp.arange(max_rank)[None, :]).astype(jnp.float32)
-    return cmc_rows, ap.astype(jnp.float32), num_rel > 0
+    return _counts_epilogue(counts, posmask, num_rel, G, max_rank)
 
 
 def _chunk_ranker(use_pallas: bool, interpret: bool, max_rank: int,

@@ -118,6 +118,28 @@ jax.tree_util.register_dataclass(
 )
 
 
+def microbatch_slots(batch: int, n: int, paired: bool) -> np.ndarray:
+    """(n, batch//n) int32 slot indices assigning batch slots to grad-accum
+    microbatches: STRIDED (chunk c takes slots ``c::n``; for paired AT
+    batches the [clean, distorted] PAIRS stride, keeping each pair adjacent
+    within its chunk). PK batches are identity-grouped, so a contiguous
+    assignment could hand a chunk a single identity and silently empty the
+    triplet losses' negative pools; striding round-robins identities and
+    spreads any tail padding slots evenly across chunks."""
+    if batch % n:
+        raise ValueError(f"grad_accum={n} must divide the batch size {batch}")
+    mb = batch // n
+    if paired:
+        if (batch // 2) % n:
+            raise ValueError(
+                f"paired AT batches microbatch in [clean, distorted] pair "
+                f"units: grad_accum={n} must divide the pair count {batch // 2}"
+            )
+        pairs = np.arange(batch, dtype=np.int32).reshape(batch // 2, 2)
+        return pairs.reshape(mb // 2, n, 2).swapaxes(0, 1).reshape(n, mb)
+    return np.arange(batch, dtype=np.int32).reshape(mb, n).T.copy()
+
+
 class Trainer:
     """Epoch-level orchestration mirroring ``trainer`` + ``mainKIT.main``."""
 
@@ -152,16 +174,20 @@ class Trainer:
                                              # eval extraction stays fp
         mining_calib_batches: int = 1,
         grad_accum: int = 1,  # microbatches per optimizer step: the batch is
-                              # split into N contiguous chunks whose grads are
-                              # averaged before ONE Adam update + ONE EMA
-                              # lerp. Memory knob: saved activations scale
-                              # with the microbatch, so >HBM batches avoid
-                              # XLA's auto-remat recompute. Standard
+                              # split into N STRIDED chunks (slot c::N; pairs
+                              # move as units, so identities round-robin and
+                              # triplet negative pools stay populated) whose
+                              # grads combine weighted by each chunk's
+                              # valid-slot count before ONE Adam update + ONE
+                              # EMA lerp. Memory knob: saved activations
+                              # scale with the microbatch, so >HBM batches
+                              # avoid XLA's auto-remat recompute. Standard
                               # grad-accumulation semantics: each chunk's
                               # distortion-weighted losses normalize over the
                               # chunk (exactly the full-batch step when the
-                              # per-sample weights are uniform); BN batch
-                              # stats thread sequentially through the chunks.
+                              # per-sample weights are uniform, including
+                              # under padding); BN batch stats thread
+                              # sequentially through the chunks.
     ):
         self.module = bundle_online.module
         import inspect as _inspect
@@ -447,21 +473,29 @@ class Trainer:
                 # completes before the next forward, so saved activations
                 # scale with B/grad_accum instead of B (the transformer-train
                 # auto-remat lever, BENCH.md §transformer-train). One Adam
-                # update + one EMA lerp on the averaged grads; BN stats
+                # update + one EMA lerp on the combined grads; BN stats
                 # thread sequentially (torch grad-accumulation semantics).
+                #
+                # Chunk assignment is STRIDED (chunk c takes slots c::n;
+                # pairs move as units), not contiguous: PK batches are
+                # identity-grouped, so contiguous chunks can hold a single
+                # identity and silently empty the triplet losses' negative
+                # pools (review finding r5); striding round-robins
+                # identities AND spreads the tail padding slots evenly.
+                #
+                # Chunks combine weighted by their VALID-slot counts, not
+                # uniformly: each chunk's losses normalize over the chunk,
+                # and padded/masked slots (mesh-multiple padding, <K-image
+                # identities) would otherwise rescale the gradient. With
+                # uniform per-sample loss weights this recombination is
+                # EXACTLY the full-batch gradient whatever the padding;
+                # with distortion weights it is the standard grad-accum
+                # approximation (chunk-level normalization).
                 n = grad_accum
                 batch = images.shape[0]
-                if batch % n:
-                    raise ValueError(
-                        f"grad_accum={n} must divide the batch size {batch}"
-                    )
-                mb = batch // n
-                if paired and mb % 2:
-                    raise ValueError(
-                        f"paired AT batches need even microbatches; "
-                        f"batch {batch} / grad_accum {n} = {mb}"
-                    )
-                split = lambda a: a.reshape((n, mb) + a.shape[1:])
+                slots = jnp.asarray(microbatch_slots(batch, n, paired))
+                split = lambda a: a[slots]
+
                 xs = (
                     split(images), split(labels), split(distortions),
                     split(mask), split(camids), jax.random.split(droppath_key, n),
@@ -476,23 +510,25 @@ class Trainer:
                 zero_g = jax.tree.map(jnp.zeros_like, state.params)
 
                 def body(carry, x):
-                    stats, g_sum, m_sum = carry
+                    stats, g_sum, m_sum, w_sum = carry
                     (tot, (stats, c_l, p_l, aux)), g = grad_fn(
                         state.params, stats, *x
                     )
-                    g_sum = jax.tree.map(jnp.add, g_sum, g)
+                    w_c = x[3].sum().astype(jnp.float32)  # valid slots
+                    g_sum = jax.tree.map(lambda a, b: a + w_c * b, g_sum, g)
                     m_sum = jax.tree.map(
-                        lambda a, b: a + b.astype(jnp.float32),
+                        lambda a, b: a + w_c * b.astype(jnp.float32),
                         m_sum, (tot, c_l, p_l, aux),
                     )
-                    return (stats, g_sum, m_sum), None
+                    return (stats, g_sum, m_sum, w_sum + w_c), None
 
-                (new_stats, g_sum, m_sum), _ = jax.lax.scan(
-                    body, (state.batch_stats, zero_g, zero_m), xs
+                (new_stats, g_sum, m_sum, w_sum), _ = jax.lax.scan(
+                    body, (state.batch_stats, zero_g, zero_m, jnp.float32(0.0)), xs
                 )
-                grads = jax.tree.map(lambda g: g / n, g_sum)
+                denom = jnp.maximum(w_sum, 1.0)
+                grads = jax.tree.map(lambda g: g / denom, g_sum)
                 total, center_loss, proxy_loss, aux = jax.tree.map(
-                    lambda m: m / n, m_sum
+                    lambda m: m / denom, m_sum
                 )
             updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)

@@ -374,10 +374,13 @@ def test_supervise_gang_straggler_watchdog(capfd):
     sup_cli.subprocess.Popen = fake_popen
     try:
         t0 = time.time()
-        rc = sup_cli._run_gang([], 2, grace_seconds=0.5, straggler_timeout=2.0)
+        rc, fail_elapsed = sup_cli._run_gang(
+            [], 2, grace_seconds=0.5, straggler_timeout=2.0
+        )
     finally:
         sup_cli.subprocess.Popen = orig
     assert rc == 1
+    assert fail_elapsed is None  # a hang is never a bootstrap failure
     assert time.time() - t0 < 30
     out = capfd.readouterr().out
     assert "treating the gang as hung" in out

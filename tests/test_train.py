@@ -454,8 +454,66 @@ def test_grad_accum_validation(synth):
     tr = _fresh_trainer(synth, grad_accum=5)
     with pytest.raises(ValueError, match="divide the batch"):
         tr.train_epoch(1)
-    # paired batch 20 (P=5, K=2, x2) pads to 24; n=8 -> odd microbatch of
-    # 3 would split a [clean, distorted] pair across chunks
+    # paired batch 20 (P=5, K=2, x2) pads to 24 = 12 pairs; n=8 does not
+    # divide the pair count, so a chunk would split a [clean, distorted]
+    # pair
     tr = _fresh_trainer(synth, grad_accum=8, kind_of_transform=1, K=2, P=5)
-    with pytest.raises(ValueError, match="even microbatches"):
+    with pytest.raises(ValueError, match="pair count"):
         tr.train_epoch(1)
+
+
+def test_grad_accum_padded_batch_matches_full_batch(synth):
+    """Chunk recombination is weighted by valid-slot counts, so masked
+    padding slots (mesh-multiple padding, <K-image identities) do NOT
+    rescale the gradient: grad_accum=2 on a batch that pads 12 -> 16 on
+    the 8-device mesh still reproduces the full-batch Adam moments
+    (review finding r5)."""
+    splits, _ = synth
+    t = splits["train"]
+    sampler = lambda: PKBatchSampler(t, t.pids, P=3, K=4, kind_of_transform=0, seed=0)
+
+    def mk(ga):
+        on, mo = _ln_pair()
+        return Trainer(on, mo, sampler(), img_size=IMG, num_epochs=4,
+                       base_lr=1e-3, compute_dtype=jnp.float32,
+                       extractor_batch=16, seed=12, grad_accum=ga)
+
+    tr1, tr2 = mk(1), mk(2)
+    m1 = tr1.train_epoch(1)
+    m2 = tr2.train_epoch(1)
+    # 2 batches/epoch; the first step's loss is computed on identical params
+    assert np.isfinite(m2["loss"])
+    o1 = jax.device_get(tr1.state.opt_state)
+    o2 = jax.device_get(tr2.state.opt_state)
+    for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(o2)):
+        if np.asarray(a).dtype.kind == "f":
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-7)
+
+
+def test_grad_accum_strided_chunks_keep_negatives():
+    """Chunk slots stride across the identity-grouped PK layout, so every
+    microbatch mixes identities and the triplet losses keep non-empty
+    negative pools (review finding r5: a contiguous assignment hands a
+    chunk a single identity — e.g. P=16, K=12, grad_accum=16 → 12-slot
+    chunks inside one 12-image identity block — silently zeroing the
+    hardest-triplet term)."""
+    from daliid_tpu.train.trainer import microbatch_slots
+
+    # unpaired PK layout: P identities x K consecutive slots each
+    P_, K_ = 4, 6
+    labels = np.repeat(np.arange(P_), K_)
+    slots = microbatch_slots(P_ * K_, K_, paired=False)  # mb = P_ slots
+    assert slots.shape == (K_, P_)
+    for c in range(K_):
+        assert len(np.unique(labels[slots[c]])) == P_  # every identity present
+    # paired layout: pairs adjacent, pair identities grouped
+    pair_labels = np.repeat(np.arange(4), 2 * 2)  # P=4, K=2, x2 slots
+    slots_p = microbatch_slots(16, 2, paired=True)
+    for c in range(2):
+        chunk = slots_p[c]
+        # pairs stay adjacent: even positions are the clean slot of a pair
+        assert np.all(chunk[1::2] == chunk[0::2] + 1)
+        assert len(np.unique(pair_labels[chunk])) == 4
+    # permutation property: every slot exactly once
+    np.testing.assert_array_equal(np.sort(slots_p.ravel()), np.arange(16))
+    np.testing.assert_array_equal(np.sort(slots.ravel()), np.arange(24))
