@@ -393,3 +393,64 @@ def test_sharded_pallas_rank_matches_numpy(rng):
     )
     np.testing.assert_allclose(cmc, cmc_np, atol=1e-5)
     assert mAP == pytest.approx(map_np, abs=1e-5)
+
+
+def test_sharded_multihead_pallas_rank_matches_replicated(rng):
+    """The multi-head ensemble sharded program with the Pallas chunk ranker
+    (use_pallas=True, interpret) matches the replicated per-head merge —
+    both weightings."""
+    from daliid_tpu.metrics import ranking as R
+    from daliid_tpu.metrics.ranking import evaluate_rank_sharded_multihead
+    from daliid_tpu.parallel.mesh import make_mesh
+
+    nq, ng = 21, 67
+    q_heads = tuple(rng.normal(size=(nq, d)).astype(np.float32) for d in (8, 12))
+    g_heads = tuple(rng.normal(size=(ng, d)).astype(np.float32) for d in (8, 12))
+    q_pids = rng.integers(0, 6, nq)
+    g_pids = rng.integers(0, 6, ng)
+    q_camids = rng.integers(0, 3, nq)
+    g_camids = rng.integers(0, 3, ng)
+
+    mesh = make_mesh()
+    for weighting in ("mean", "magnitude"):
+        # reference: the plain XLA-scan route
+        cmc_x, map_x = evaluate_rank_sharded_multihead(
+            q_heads, g_heads, q_pids, g_pids, q_camids, g_camids,
+            mesh=mesh, max_rank=10, head_weighting=weighting,
+        )
+        # pallas chunk ranker, forced + interpret (the CPU mesh has no Mosaic)
+        fn = R._sharded_rank_multihead_fn(
+            mesh, 10, False, 8, (8, 12), weighting,
+            use_pallas=True, interpret=True,
+        )
+
+        def prep(heads):
+            normed, mags = [], []
+            for h in heads:
+                m = np.linalg.norm(h, axis=1, keepdims=True)
+                normed.append(h / (m + 1e-12))
+                mags.append(m)
+            return np.concatenate(normed, 1), np.concatenate(mags, 1)
+
+        q, qm = prep(q_heads)
+        g, gm = prep(g_heads)
+        n_dev = mesh.devices.size
+        pad = (-nq) % n_dev
+        q = np.pad(q, ((0, pad), (0, 0)))
+        qm = np.pad(qm, ((0, pad), (0, 0)), constant_values=1.0)
+        qp = np.pad(q_pids.astype(np.int32), (0, pad), constant_values=-1)
+        qc = np.pad(q_camids.astype(np.int32), (0, pad), constant_values=-1)
+        qcols = np.pad(
+            R.positive_columns(q_pids, g_pids, R.max_positives_bound(g_pids)),
+            ((0, pad), (0, 0)), constant_values=-1,
+        )
+        cmc_sum, ap_sum, n_valid = fn(
+            q, qcols, qp, qc, qm, g, g_pids.astype(np.int32),
+            g_camids.astype(np.int32), gm,
+        )
+        denom = max(float(n_valid), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(cmc_sum) / denom, np.asarray(cmc_x), atol=1e-5,
+            err_msg=weighting,
+        )
+        assert float(ap_sum) / denom == pytest.approx(float(map_x), abs=1e-5)
