@@ -1,6 +1,6 @@
 """Sweep the ranking kernel's chunk sizes at DeepChange scale.
 
-The counting scan runs at the VPU floor (~0.3 s of the 1.16 s total,
+The counting scan runs at the VPU floor (~0.3 s of the 431 ms union-busy total — r5 erratum, BENCH.md §ranking-pallas,
 tools/profile_ranking.py); the rest is per-chunk overhead (masks, gathers,
 pads, loop bookkeeping). Larger query chunks / gallery blocks amortize it —
 bounded by the (query_chunk, G) pad/transpose copies in HBM.
