@@ -154,6 +154,18 @@ def _use_pallas_rank() -> bool:
         return False
 
 
+# smaller protocols stay on the XLA scan — the kernel's win is the large-
+# gallery sweep, and a launch + transpose isn't worth it under this
+_PALLAS_RANK_MIN_GALLERY = 16384
+
+
+def _pallas_gate(num_gallery: int) -> bool:
+    """ONE kernel-selection policy for every ranking route (the replicated
+    path, the sharded path, and the multi-head sharded path) — a threshold
+    tune applied here cannot leave the routes on divergent policies."""
+    return _use_pallas_rank() and int(num_gallery) >= _PALLAS_RANK_MIN_GALLERY
+
+
 # Queries per Pallas dispatch: every protocol size reuses the ONE compiled
 # (stripe, G_pad, P_pad) geometry — measured on chip, the 17.5k-query
 # full-geometry program takes >12 min of XLA/Mosaic compile while the
@@ -253,11 +265,17 @@ def _evaluate_rank_pallas_counts(
             interpret=interpret,
         ))
     parts = jax.device_get(parts)
-    cmc_sum = np.sum([np.asarray(c, np.float64) for c, _, _ in parts], axis=0)
-    ap_sum = float(np.sum([a for _, a, _ in parts]))
-    n_valid = float(np.sum([v for _, _, v in parts]))
+    # explicit zero init keeps the empty-query-set cmc a (max_rank,) vector
+    # (np.sum([], axis=0) collapses to a 0-d scalar — review finding r5)
+    cmc_sum = np.zeros(max_rank, np.float64)
+    for c, _, _ in parts:
+        cmc_sum += np.asarray(c, np.float64)
+    ap_sum = float(np.sum([a for _, a, _ in parts])) if parts else 0.0
+    n_valid = float(np.sum([v for _, _, v in parts])) if parts else 0.0
     denom = float(num_q) if count_all else max(n_valid, 1.0)
-    return jnp.asarray(cmc_sum / denom, jnp.float32), jnp.float32(ap_sum / denom)
+    return jnp.asarray(cmc_sum / max(denom, 1.0), jnp.float32), jnp.float32(
+        ap_sum / max(denom, 1.0)
+    )
 
 
 def _rank_chunk_counting_kernel(
@@ -430,11 +448,7 @@ def evaluate_rank_jax(
     # the XLA scan (kernel launch not worth it). The striped path runs a
     # host loop, so callers that trace evaluate_rank_jax inside their own
     # jit keep the fully-traceable XLA route.
-    if (
-        _use_pallas_rank()
-        and int(distmat.shape[1]) >= 16384
-        and not isinstance(distmat, jax.core.Tracer)
-    ):
+    if _pallas_gate(distmat.shape[1]) and not isinstance(distmat, jax.core.Tracer):
         return _evaluate_rank_pallas_counts(
             distmat, jnp.asarray(q_cols), q_pids, g_pids, q_camids, g_camids,
             max_rank, query_chunk, count_all=count_all,
@@ -500,7 +514,7 @@ def evaluate_rank_sharded(
 
     fn = _sharded_rank_fn(
         mesh, max_rank, ignore_camera, query_chunk,
-        use_pallas=_use_pallas_rank() and g.shape[0] >= 16384,
+        use_pallas=_pallas_gate(g.shape[0]),
     )
     # host numpy straight into the jit: each process passes the same global
     # arrays and jax materializes only the addressable shards — required for
@@ -582,7 +596,7 @@ def evaluate_rank_sharded_multihead(
 
     fn = _sharded_rank_multihead_fn(
         mesh, max_rank, ignore_camera, query_chunk, dims, head_weighting,
-        use_pallas=_use_pallas_rank() and g.shape[0] >= 16384,
+        use_pallas=_pallas_gate(g.shape[0]),
     )
     cmc_sum, ap_sum, n_valid = fn(q, qcols, qp, qc, q_mags, g, gp, gc, g_mags)
     denom = float(num_q) if count_all else max(float(n_valid), 1.0)

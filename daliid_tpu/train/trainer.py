@@ -185,9 +185,11 @@ class Trainer:
                               # grad-accumulation semantics: each chunk's
                               # distortion-weighted losses normalize over the
                               # chunk (exactly the full-batch step when the
-                              # per-sample weights are uniform, including
-                              # under padding); BN batch stats thread
-                              # sequentially through the chunks.
+                              # per-sample weights are uniform and every
+                              # class owns mined proxies — both true in the
+                              # shipped pipeline — including under padding);
+                              # BN batch stats thread sequentially through
+                              # the chunks.
     ):
         self.module = bundle_online.module
         import inspect as _inspect
@@ -488,19 +490,27 @@ class Trainer:
                 # and padded/masked slots (mesh-multiple padding, <K-image
                 # identities) would otherwise rescale the gradient. With
                 # uniform per-sample loss weights this recombination is
-                # EXACTLY the full-batch gradient whatever the padding;
-                # with distortion weights it is the standard grad-accum
-                # approximation (chunk-level normalization).
+                # exactly the full-batch gradient whatever the padding, as
+                # long as every sample's class owns mined proxies (the
+                # proxy loss additionally normalizes by its has_pos count —
+                # always true in the shipped pipeline, which mines proxies
+                # for every train class each epoch); with distortion
+                # weights it is the standard grad-accum approximation
+                # (chunk-level normalization).
                 n = grad_accum
                 batch = images.shape[0]
+                # only the (n, mb) slot table and per-chunk keys are scanned;
+                # each chunk GATHERS its slice from the full batch inside the
+                # body, so peak memory holds one chunk's copy instead of a
+                # full reordered batch (the memory-relief flag should not
+                # itself add a whole-batch HBM copy — review finding r5)
                 slots = jnp.asarray(microbatch_slots(batch, n, paired))
-                split = lambda a: a[slots]
+                xs = (slots, jax.random.split(droppath_key, n))
 
-                xs = (
-                    split(images), split(labels), split(distortions),
-                    split(mask), split(camids), jax.random.split(droppath_key, n),
+                first = (
+                    images[slots[0]], labels[slots[0]], distortions[slots[0]],
+                    mask[slots[0]], camids[slots[0]], xs[1][0],
                 )
-                first = tuple(x[0] for x in xs)
                 out_sd = jax.eval_shape(
                     loss_fn, state.params, state.batch_stats, *first
                 )
@@ -511,10 +521,13 @@ class Trainer:
 
                 def body(carry, x):
                     stats, g_sum, m_sum, w_sum = carry
+                    sl, key_c = x
+                    mask_c = mask[sl]
                     (tot, (stats, c_l, p_l, aux)), g = grad_fn(
-                        state.params, stats, *x
+                        state.params, stats, images[sl], labels[sl],
+                        distortions[sl], mask_c, camids[sl], key_c,
                     )
-                    w_c = x[3].sum().astype(jnp.float32)  # valid slots
+                    w_c = mask_c.sum().astype(jnp.float32)  # valid slots
                     g_sum = jax.tree.map(lambda a, b: a + w_c * b, g_sum, g)
                     m_sum = jax.tree.map(
                         lambda a, b: a + w_c * b.astype(jnp.float32),

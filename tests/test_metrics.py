@@ -454,3 +454,15 @@ def test_sharded_multihead_pallas_rank_matches_replicated(rng):
             err_msg=weighting,
         )
         assert float(ap_sum) / denom == pytest.approx(float(map_x), abs=1e-5)
+
+
+def test_pallas_rank_empty_query_set_keeps_cmc_shape():
+    """Zero queries must still return a (max_rank,) CMC vector (review
+    finding r5: an empty stripe list collapsed np.sum to a 0-d scalar)."""
+    cmc, mAP = _pallas_counts_rank(
+        np.zeros((0, 40), np.float32), np.zeros(0, np.int64),
+        np.arange(5).repeat(8), np.zeros(0, np.int64),
+        np.zeros(40, np.int64), max_rank=10,
+    )
+    assert cmc.shape == (10,)
+    assert float(mAP) == 0.0
