@@ -18,18 +18,18 @@ broadcasting against the (BG, BQ) distance block, and the per-positive
 count is a sublane reduction — every block shape is Mosaic-legal and every
 op a natural VPU broadcast.
 
-**Grid** ``(n_q_tiles, n_p_chunks, n_g_blocks)`` — gallery INNERMOST:
+**Grid** ``(n_q_tiles, n_g_blocks, n_p_chunks)`` — positive chunks
+INNERMOST:
 
-- the counts output block ``(PC, BQ) @ (k, i)`` has a constant index map
-  across the inner g sweep, so it accumulates in VMEM and is written to
-  HBM once per (query tile, positive chunk);
-- the positive-threshold blocks ``(PC, BQ) @ (k, i)`` are likewise
-  resident across the sweep;
-- the distᵀ block ``(BG, BQ) @ (j, i)`` streams, double-buffered by the
-  grid pipeline. It is re-swept once per positive chunk (nk = P/PC times
-  total — ~20 GiB at DeepChange scale, ~25 ms of the ~270 ms compute
-  roofline, overlapped); a scratch-accumulator single-sweep variant was
-  not worth the complexity.
+- the distᵀ block ``(BG, BQ) @ (j, i)`` has a constant index map across
+  the inner k sweep, so each block is fetched from HBM exactly ONCE
+  (double-buffered against the previous block's last k step) — the
+  distmat streams through VMEM a single time regardless of P;
+- the full counts output block ``(P_pad, BQ) @ (0, i)`` is constant
+  across BOTH inner dimensions, accumulating in VMEM for the whole
+  (i)-tile and written to HBM once; each step adds its (PC, BQ) slice;
+- the junk-masked distances are computed once per (i, j) at ``k == 0``
+  and cached in a ``(BG, BQ)`` VMEM scratch for the remaining k steps.
 
 **Per step**: junk entries (same pid AND same camid as the query — the
 Market protocol, ``evaluate_cy``'s ``keep`` mask) are pushed to ``+inf``
@@ -66,29 +66,35 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(dist_ref, pd_ref, pi_ref, qp_ref, qc_ref, gp_ref, gc_ref,
-            out_ref, *, bg: int, pc: int, ignore_camera: bool):
-    j = pl.program_id(2)
+            out_ref, kd_ref, *, bg: int, pc: int, ignore_camera: bool):
+    j = pl.program_id(1)
+    k = pl.program_id(2)
 
-    @pl.when(j == 0)
+    @pl.when((j == 0) & (k == 0))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    d = dist_ref[:]                                    # (BG, BQ) f32
-    if ignore_camera:
-        kd = d
-    else:
-        # junk = same pid AND same camid as the query; (BG, 1) vs (1, BQ)
-        junk = (gp_ref[:] == qp_ref[:]) & (gc_ref[:] == qc_ref[:])
-        kd = jnp.where(junk, jnp.inf, d)
+    @pl.when(k == 0)
+    def _():
+        # junk-masked distances once per (i, j) block, cached for all
+        # positive chunks: junk = same pid AND same camid as the query
+        if ignore_camera:
+            kd_ref[:] = dist_ref[:]
+        else:
+            junk = (gp_ref[:] == qp_ref[:]) & (gc_ref[:] == qc_ref[:])
+            kd_ref[:] = jnp.where(junk, jnp.inf, dist_ref[:])
+
+    kd = kd_ref[:]                                     # (BG, BQ) f32
     gi = j * bg + jax.lax.broadcasted_iota(jnp.int32, (bg, 1), 0)
 
     rows = []
-    for k in range(pc):                                # static unroll
-        p = pd_ref[k:k + 1, :]                         # (1, BQ) f32
-        px = pi_ref[k:k + 1, :]                        # (1, BQ) i32
+    for kk in range(pc):                               # static unroll
+        p = pd_ref[kk:kk + 1, :]                       # (1, BQ) f32
+        px = pi_ref[kk:kk + 1, :]                      # (1, BQ) i32
         before = (kd < p) | ((kd == p) & (gi < px))
         rows.append(jnp.sum(before.astype(jnp.int32), axis=0, keepdims=True))
-    out_ref[:] = out_ref[:] + jnp.concatenate(rows, axis=0)
+    sl = pl.ds(pl.multiple_of(k * pc, pc), pc)
+    out_ref[sl, :] = out_ref[sl, :] + jnp.concatenate(rows, axis=0)
 
 
 @functools.partial(
@@ -138,24 +144,26 @@ def positive_rank_counts(
     nk = pd_t.shape[0] // pc
     ng = dist_t.shape[0] // bg
 
+    p_pad = pd_t.shape[0]
     counts_t = pl.pallas_call(
         functools.partial(_kernel, bg=bg, pc=pc, ignore_camera=ignore_camera),
-        grid=(nq, nk, ng),
+        grid=(nq, ng, nk),
         in_specs=[
-            pl.BlockSpec((bg, bq), lambda i, k, j: (j, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((pc, bq), lambda i, k, j: (k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((pc, bq), lambda i, k, j: (k, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda i, k, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda i, k, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bg, 1), lambda i, k, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bg, 1), lambda i, k, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, bq), lambda i, j, k: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pc, bq), lambda i, j, k: (k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pc, bq), lambda i, j, k: (k, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, j, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq), lambda i, j, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, 1), lambda i, j, k: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bg, 1), lambda i, j, k: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((pc, bq), lambda i, k, j: (k, i),
+        out_specs=pl.BlockSpec((p_pad, bq), lambda i, j, k: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((pd_t.shape[0], dist_t.shape[1]), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((p_pad, dist_t.shape[1]), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((bg, bq), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=6 * dist_t.shape[0] * dist_t.shape[1] * pd_t.shape[0],
-            bytes_accessed=4 * dist_t.shape[0] * dist_t.shape[1] * nk,
+            flops=6 * dist_t.shape[0] * dist_t.shape[1] * p_pad,
+            bytes_accessed=4 * dist_t.shape[0] * dist_t.shape[1],
             transcendentals=0,
         ),
         interpret=interpret,
